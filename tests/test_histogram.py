@@ -1,0 +1,119 @@
+"""Histogram/normalization oracle tests, cloned from the reference suite
+(reference: src/histogram.rs:548-671): deterministic flat/uniform/exponential
+distributions plus seeded random data, with the shared ``hist_verify``
+oracle (sum == 2**log2, zero/nonzero preservation, header round-trip with
+trailing bytes preserved)."""
+
+import numpy as np
+import pytest
+
+from entropy_coders_tpu.constants import TABLE_LOG_MAX
+from entropy_coders_tpu.spec.histogram import Histogram, NormHistogram
+
+from conftest import gen_sequence
+
+
+def hist_verify(hist: Histogram, log2: int):
+    raw = hist.table.copy()
+    norm = hist.normalize(log2)
+    assert int(np.abs(norm.table.astype(np.int64)).sum()) == 1 << norm.log2
+    for i in range(256):
+        assert (raw[i] == 0) == (norm.table[i] == 0), (
+            f"symbol {i}: raw {raw[i]} vs normalized {norm.table[i]}"
+        )
+    enc = bytearray()
+    norm.write(enc)
+    trailer = b"I am a test"
+    enc += trailer
+    dec, rem = NormHistogram.read(bytes(enc))
+    assert rem == trailer
+    assert dec.log2 == norm.log2
+    assert dec.table_len == norm.table_len
+    np.testing.assert_array_equal(dec.table, norm.table)
+
+
+def test_flat_256():
+    data = np.arange(256, dtype=np.uint8)
+    NormHistogram.new(data)
+
+
+@pytest.mark.parametrize("log2", range(8, TABLE_LOG_MAX + 1))
+def test_uniform_dist_256(log2):
+    reps = 1 << (log2 - 8)
+    data = np.repeat(np.arange(256, dtype=np.uint8), reps)
+    hist = Histogram(data)
+    assert (hist.table == reps).all()
+    hist_verify(hist, log2)
+
+
+@pytest.mark.parametrize("log2", range(8, TABLE_LOG_MAX + 1))
+def test_exp_dist(log2):
+    size = 1 << log2
+    remaining = size
+    chunks = []
+    sym = 0
+    while True:
+        chunks.append(np.full(remaining >> 1, sym, dtype=np.uint8))
+        remaining -= remaining >> 1
+        sym += 1
+        if remaining == 1:
+            chunks.append(np.array([sym], dtype=np.uint8))
+            break
+    data = np.concatenate(chunks)
+    hist = Histogram(data)
+    for j in range(256):
+        if j < log2:
+            expected = (1 << log2) >> (1 + j)
+        elif j == log2:
+            expected = 1
+        else:
+            expected = 0
+        assert hist.table[j] == expected
+    hist_verify(hist, log2)
+
+
+@pytest.mark.parametrize("log2", range(8, TABLE_LOG_MAX + 1))
+def test_rand_dist_uniform(log2, rng):
+    size = 1 << (log2 + 2)
+    for rep in range(4):
+        data = rng.integers(0, 256, size=size, dtype=np.uint8)
+        hist_verify(Histogram(data), log2)
+
+
+@pytest.mark.parametrize("prob", [0.05, 0.2, 0.5, 0.9])
+def test_geometric_dist(prob):
+    data = gen_sequence(prob, 1 << 15)
+    hist = Histogram(data)
+    hist_verify(hist, hist.optimal_log2())
+
+
+def test_optimal_log2_known_values():
+    # 64 KiB of >=128 distinct symbols: default table log 11
+    data = gen_sequence(0.005, 1 << 16)
+    h = Histogram(data)
+    assert h.optimal_log2() == 11
+    # tiny input: log2 pinned near size
+    data = np.arange(64, dtype=np.uint8)
+    assert Histogram(data).optimal_log2() >= 5
+
+
+def test_try_from_roundtrip():
+    data = gen_sequence(0.2, 1 << 14)
+    norm = NormHistogram.new(data)
+    again = NormHistogram.try_from(norm.table)
+    assert again.log2 == norm.log2
+    assert again.table_len == norm.table_len
+
+
+def test_try_from_rejects_non_power_of_two():
+    t = np.zeros(256, dtype=np.int32)
+    t[0] = 3
+    with pytest.raises(ValueError):
+        NormHistogram.try_from(t)
+
+
+def test_read_rejects_garbage():
+    from entropy_coders_tpu.spec.histogram import HistError
+
+    with pytest.raises((HistError, ValueError, EOFError)):
+        NormHistogram.read(b"\xff\xff\xff\xff\xff\xff")
