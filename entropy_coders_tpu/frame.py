@@ -1,0 +1,396 @@
+"""TPU block-container codec (format: FORMAT.md).
+
+Splits data into fixed-size blocks; each block is a reference-format FSE
+frame internally (k-way interleave) so the container embeds the
+reference's primitives per block while adding parallel decode entry,
+RAW/RLE escapes, and multi-chip shardability.
+
+Pipeline per frame:
+  host split -> device histogram (batched) -> host normalize (vectorized,
+  exact) + header write -> device table build (batched vmap) -> device
+  encode (batched vmap scan) -> host assembly. Decode mirrors it.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .constants import TABLE_LOG_DEFAULT
+from .normalize import normalize_batch
+from .ops.coder import _cdiv, _decode_core, _encode_core
+from .ops.histogram import histogram_blocks
+from .ops.tables import build_decode_table, build_encode_table
+from .spec.histogram import NormHistogram
+
+MAGIC = b"FSET"
+VERSION = 1
+FLAG_SHARED = 1
+
+MODE_FSE = 0
+MODE_RAW = 1
+MODE_RLE = 2
+
+DEFAULT_BLOCK_SIZE = 1 << 17
+DEFAULT_K = 1024
+
+
+# --- batched jit wrappers ---------------------------------------------------
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("k", "L", "W"))
+def _encode_blocks(syms, valid, init_syms, finish_slots, tt_bits, tt_fs,
+                   table, *, k, L, W):
+    fn = lambda s, i, b, f, t: _encode_core(
+        s, valid, i, finish_slots, b, f, t, k=k, L=L, W=W
+    )
+    return jax.vmap(fn)(syms, init_syms, tt_bits, tt_fs, table)
+
+
+@partial(jax.jit, static_argnames=("k", "L", "R"))
+def _decode_blocks(words, total_bits, packed, *, k, L, R):
+    fn = lambda w, t, p: _decode_core(w, t, p, k=k, L=L, R=R)
+    return jax.vmap(fn)(words, total_bits, packed)
+
+
+@partial(jax.jit, static_argnames=("log2",))
+def _build_enc_blocks(norm_tables, *, log2):
+    return jax.vmap(lambda t: build_encode_table(t, log2=log2))(norm_tables)
+
+
+@partial(jax.jit, static_argnames=("log2",))
+def _build_dec_blocks(norm_tables, *, log2):
+    return jax.vmap(lambda t: build_decode_table(t, log2=log2))(norm_tables)
+
+
+def _encode_layout(n: int, k: int):
+    """Static emission layout for blocks of raw length n (see ops.coder)."""
+    m = n - k
+    R = max(_cdiv(m, k), 1)
+    valid = (np.arange(R * k) < m).reshape(R, k)
+    finish_slots = np.array([(n - 1 - s) % k for s in range(k - 1, -1, -1)], np.int32)
+    W = _cdiv((R * k + k) * 16 + 32, 32) + 2
+    return m, R, valid, finish_slots, W
+
+
+def _blocks_to_syms(blocks: np.ndarray, m: int, R: int, k: int):
+    """(B, n) raw blocks -> (B, R, k) symbols in emission order + (B, k)
+    init symbols (slot t holds byte n-1-t)."""
+    B, n = blocks.shape
+    rev = blocks[:, :m][:, ::-1]
+    pad = R * k - m
+    if pad:
+        rev = np.concatenate([rev, np.zeros((B, pad), np.uint8)], axis=1)
+    syms = rev.reshape(B, R, k)
+    init_syms = blocks[:, n - k :][:, ::-1].copy()
+    return syms, init_syms
+
+
+# --- compress ----------------------------------------------------------------
+
+
+def compress(
+    data,
+    *,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    k: int = DEFAULT_K,
+    shared_table: bool = False,
+    table_log: int = TABLE_LOG_DEFAULT,
+    sharding=None,
+) -> bytes:
+    """Compress ``data`` into a TPU container frame (FORMAT.md)."""
+    data = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) else np.asarray(data, np.uint8)
+    if block_size < 16:
+        raise ValueError("block_size must be >= 16")
+    total_len = len(data)
+    if total_len == 0:
+        return _frame_header(0, k, block_size, 0, False) + b""
+    n_blocks = _cdiv(total_len, block_size)
+
+    full = total_len // block_size
+    sections: list[bytes] = [b""] * n_blocks
+    modes = np.full(n_blocks, MODE_FSE, np.int32)
+
+    shared_hdr = b""
+    if shared_table:
+        # one histogram over everything, one table for every block
+        counts_all = np.bincount(data, minlength=256).astype(np.uint32)
+        if np.count_nonzero(counts_all) <= 1:
+            shared_table = False  # degenerate data: everything goes RLE/RAW
+        else:
+            tables, log2s = normalize_batch(counts_all[None], total_len, table_log)
+            s_norm = NormHistogram(tables[0], int(log2s[0]), _tl(tables[0]))
+            hdr = bytearray()
+            s_norm.write(hdr)
+            shared_hdr = bytes(hdr)
+
+    if full:
+        blocks = data[: full * block_size].reshape(full, block_size)
+        counts = np.asarray(histogram_blocks(jnp.asarray(blocks)))
+        # single-symbol blocks can't be FSE-coded (the reference's
+        # normalization rejects table_len == 1, src/histogram.rs:98);
+        # they take the RLE escape below.
+        codable = np.flatnonzero((counts != 0).sum(axis=1) > 1)
+        if codable.size:
+            if shared_table:
+                norm_tables = np.repeat(tables, codable.size, axis=0)
+                log2_arr = np.repeat(log2s, codable.size)
+            else:
+                norm_tables, log2_arr = normalize_batch(
+                    counts[codable], block_size, table_log
+                )
+            _encode_group(
+                blocks[codable], norm_tables, log2_arr, k,
+                shared_table, sections, modes, codable,
+                sharding=sharding,
+            )
+
+    if full * block_size < total_len:  # ragged tail block
+        tail = data[full * block_size :]
+        _encode_tail(tail, k, table_log, shared_table,
+                     s_norm if shared_table else None, sections, modes, n_blocks - 1)
+
+    # RAW/RLE escapes where FSE did not win
+    raw_lens = [min(block_size, total_len - i * block_size) for i in range(n_blocks)]
+    for i in range(n_blocks):
+        raw = data[i * block_size : i * block_size + raw_lens[i]]
+        if modes[i] == MODE_FSE and len(sections[i]) >= raw_lens[i]:
+            modes[i] = MODE_RAW
+            sections[i] = raw.tobytes()
+        if modes[i] != MODE_RLE and raw_lens[i] > 1 and (raw == raw[0]).all():
+            modes[i] = MODE_RLE
+            sections[i] = bytes([int(raw[0])])
+
+    out = bytearray(_frame_header(total_len, k, block_size, n_blocks, shared_table))
+    if shared_table:
+        out += struct.pack("<H", len(shared_hdr)) + shared_hdr
+    for i in range(n_blocks):
+        out += struct.pack("<I", (int(modes[i]) << 30) | len(sections[i]))
+    for s in sections:
+        out += s
+    return bytes(out)
+
+
+def _put(arr, sharding):
+    """Place a host array on the mesh, sharded over the leading (block)
+    axis; plain transfer when unsharded."""
+    if sharding is None:
+        return jnp.asarray(arr)
+    return jax.device_put(arr, sharding)
+
+
+def _tl(table) -> int:
+    nz = np.flatnonzero(table)
+    return int(nz[-1]) + 1 if nz.size else 1
+
+
+def _frame_header(total_len, k, block_size, n_blocks, shared) -> bytes:
+    return (
+        MAGIC
+        + struct.pack("<BBHIQI", VERSION, FLAG_SHARED if shared else 0,
+                      k, block_size, total_len, n_blocks)
+    )
+
+
+def _encode_group(blocks, norm_tables, log2_arr, k, shared_table,
+                  sections, modes, block_ids, sharding=None):
+    """Batched encode of equal-size blocks, grouped by effective log2.
+
+    With ``sharding`` (a NamedSharding over the block axis), inputs are
+    placed across the mesh and XLA partitions the whole batched
+    encode — each chip encodes its blocks independently (data parallel
+    over blocks, no cross-chip communication in the encode itself)."""
+    B, n = blocks.shape
+    m, R, valid, finish_slots, W = _encode_layout(n, k)
+    syms, init_syms = _blocks_to_syms(blocks, m, R, k)
+
+    for l2 in np.unique(log2_arr):
+        rows = np.flatnonzero(log2_arr == l2)
+        nrows = len(rows)
+        pad_rows = 0
+        if sharding is not None:
+            nshards = sharding.mesh.size
+            pad_rows = (-nrows) % nshards
+        idx = np.concatenate([rows, rows[:1].repeat(pad_rows)])
+        nt = _put(norm_tables[idx], sharding)
+        table, tt_bits, tt_fs = _build_enc_blocks(nt, log2=int(l2))
+        words, total_bits = _encode_blocks(
+            _put(syms[idx], sharding),
+            jnp.asarray(valid),
+            _put(init_syms[idx], sharding),
+            jnp.asarray(finish_slots),
+            tt_bits, tt_fs, table,
+            k=k, L=int(l2), W=W,
+        )
+        words = np.ascontiguousarray(np.asarray(words)[:nrows])
+        total_bits = np.asarray(total_bits)[:nrows]
+        for j, r in enumerate(rows):
+            nbytes = (int(total_bits[j]) + 7) // 8
+            payload = words[j].tobytes()[:nbytes]
+            if shared_table:
+                sections[block_ids[r]] = payload
+            else:
+                hdr = bytearray()
+                NormHistogram(norm_tables[r], int(l2), _tl(norm_tables[r])).write(hdr)
+                sections[block_ids[r]] = bytes(hdr) + payload
+
+
+def _encode_tail(tail, k, table_log, shared_table, s_norm, sections, modes, idx):
+    n = len(tail)
+    k_t = min(k, n)  # every stream needs at least one byte
+    if n < 8 or k_t < 1:
+        modes[idx] = MODE_RAW
+        sections[idx] = tail.tobytes()
+        return
+    try:
+        if shared_table:
+            norm_tables = np.asarray(s_norm.table)[None]
+            log2_arr = np.array([s_norm.log2])
+        else:
+            counts = np.bincount(tail, minlength=256).astype(np.uint32)[None]
+            norm_tables, log2_arr = normalize_batch(counts, n, table_log)
+        tmp_sections = [b""]
+        _encode_group(tail[None, :], norm_tables, log2_arr, k_t,
+                      shared_table, tmp_sections, modes, np.array([0]))
+        sections[idx] = tmp_sections[0]
+    except ValueError:
+        modes[idx] = MODE_RAW
+        sections[idx] = tail.tobytes()
+
+
+# --- decompress ---------------------------------------------------------------
+
+
+@dataclass
+class _ParsedFrame:
+    k: int
+    block_size: int
+    total_len: int
+    n_blocks: int
+    shared: bool
+    shared_hdr: bytes
+    modes: np.ndarray
+    sections: list[bytes]
+
+
+def _parse_frame(frame: bytes) -> _ParsedFrame:
+    if frame[:4] != MAGIC:
+        raise ValueError("bad magic")
+    version, flags, k, block_size, total_len, n_blocks = struct.unpack_from(
+        "<BBHIQI", frame, 4
+    )
+    if version != VERSION:
+        raise ValueError(f"unsupported version {version}")
+    off = 4 + struct.calcsize("<BBHIQI")
+    shared = bool(flags & FLAG_SHARED)
+    shared_hdr = b""
+    if shared:
+        (hlen,) = struct.unpack_from("<H", frame, off)
+        off += 2
+        shared_hdr = frame[off : off + hlen]
+        off += hlen
+    entries = np.frombuffer(frame, np.uint32, count=n_blocks, offset=off)
+    off += 4 * n_blocks
+    modes = (entries >> 30).astype(np.int32)
+    lens = (entries & ((1 << 30) - 1)).astype(np.int64)
+    sections = []
+    for ln in lens:
+        sections.append(frame[off : off + int(ln)])
+        off += int(ln)
+    return _ParsedFrame(k, block_size, total_len, n_blocks, shared,
+                        shared_hdr, modes, sections)
+
+
+def decompress(frame: bytes, *, sharding=None) -> bytes:
+    """Decompress a TPU container frame back to bytes."""
+    pf = _parse_frame(frame)
+    out = np.zeros(pf.total_len, np.uint8)
+    raw_lens = [
+        min(pf.block_size, pf.total_len - i * pf.block_size)
+        for i in range(pf.n_blocks)
+    ]
+
+    shared_norm = None
+    if pf.shared:
+        shared_norm, rest = NormHistogram.read(pf.shared_hdr)
+        if rest:
+            raise ValueError("trailing bytes after shared histogram header")
+
+    # group FSE blocks by (raw_len, log2) for batched decode
+    groups: dict[tuple[int, int], list[tuple[int, bytes, np.ndarray]]] = {}
+    for i in range(pf.n_blocks):
+        mode, sec, rl = int(pf.modes[i]), pf.sections[i], raw_lens[i]
+        o = i * pf.block_size
+        if mode == MODE_RAW:
+            if len(sec) != rl:
+                raise ValueError(f"raw block {i} length mismatch")
+            out[o : o + rl] = np.frombuffer(sec, np.uint8)
+        elif mode == MODE_RLE:
+            out[o : o + rl] = sec[0]
+        elif mode == MODE_FSE:
+            if pf.shared:
+                norm, payload = shared_norm, sec
+            else:
+                norm, payload = NormHistogram.read(sec)
+            groups.setdefault((rl, norm.log2), []).append((i, payload, norm.table))
+        else:
+            raise ValueError(f"bad block mode {mode}")
+
+    for (rl, log2), items in groups.items():
+        _decode_group(items, rl, log2, pf, out, raw_lens, sharding=sharding)
+    return out.tobytes()
+
+
+def _decode_group(items, raw_len, log2, pf, out, raw_lens, sharding=None):
+    k = min(pf.k, raw_len)
+    if sharding is not None:
+        # pad the batch to the mesh size by replicating the first block
+        # (decoded results of the pad rows are discarded)
+        pad = (-len(items)) % sharding.mesh.size
+        items = items + items[:1] * pad
+    B = len(items)
+    # payload words, padded to the group max (+ guard words)
+    max_bytes = max(len(p) for _, p, _ in items)
+    Wd = _cdiv(max_bytes, 4) + 2
+    words = np.zeros((B, Wd), np.uint32)
+    total_bits = np.zeros(B, np.int32)
+    norm_tables = np.zeros((B, 256), np.int32)
+    for j, (i, payload, nt) in enumerate(items):
+        buf = np.frombuffer(payload, np.uint8)
+        nz = np.flatnonzero(buf)
+        if nz.size == 0:
+            raise ValueError(f"block {i}: missing marker bit")
+        last = int(nz[-1])
+        marker = last * 8 + int(buf[last]).bit_length() - 1
+        if len(buf) * 8 - marker > 8:
+            raise ValueError(f"block {i}: framing error")
+        total_bits[j] = marker
+        pb = np.zeros(Wd * 4, np.uint8)
+        pb[: len(buf)] = buf
+        words[j] = pb.view(np.uint32)
+        norm_tables[j] = nt
+
+    packed = _build_dec_blocks(_put(norm_tables, sharding), log2=log2)
+    m = raw_len - k
+    R = max(_cdiv(m, k), 1) + 1
+    syms, emit_count, finals, done, _c = _decode_blocks(
+        _put(words, sharding), _put(total_bits, sharding), packed,
+        k=k, L=log2, R=R,
+    )
+    syms = np.asarray(syms).reshape(B, -1)
+    emit_count = np.asarray(emit_count)
+    finals = np.asarray(finals)
+    if not np.asarray(done).all():
+        raise ValueError("decode did not terminate: corrupt frame")
+    if not (emit_count == m).all():
+        raise ValueError("decoded length mismatch: corrupt frame")
+    for j, (i, _, _) in enumerate(items):
+        o = i * pf.block_size
+        out[o : o + m] = syms[j, :m]
+        out[o + m : o + raw_len] = finals[j]

@@ -1,0 +1,139 @@
+"""C++ host codec bindings (ctypes).
+
+Serial k-way FSE codec with the exact reference wire format — the fast
+host oracle / CPU fallback, and the measured stand-in for the Rust
+baseline (BASELINE.md: the reference's own numbers are unpublished and
+Rust is not in this image).
+
+Builds lazily with g++ on first use; ``available()`` reports whether the
+native library could be built/loaded.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import warnings
+
+import numpy as np
+
+_lib = None
+_load_error: str | None = None
+
+
+def _load():
+    global _lib, _load_error
+    if _lib is not None or _load_error is not None:
+        return _lib
+    try:
+        from .build import build
+
+        path = build()
+        lib = ctypes.CDLL(str(path))
+        lib.ect_compress.restype = ctypes.c_int
+        lib.ect_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.ect_decompress.restype = ctypes.c_int
+        lib.ect_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.ect_read_header.restype = ctypes.c_size_t
+        lib.ect_read_header.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.ect_write_header.restype = ctypes.c_size_t
+        lib.ect_write_header.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_size_t,
+        ]
+        lib.ect_normalize.restype = ctypes.c_int
+        lib.ect_normalize.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        _lib = lib
+    except Exception as e:  # toolchain missing etc. — soft-fail
+        _load_error = str(e)
+        warnings.warn(f"native codec unavailable: {e}")
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def compress(data, k: int = 1) -> bytes:
+    """Reference-format compress (header + k-way payload)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    data = bytes(data)
+    cap = 1024 + len(data) + (len(data) >> 6)
+    out = ctypes.create_string_buffer(cap)
+    out_len = ctypes.c_size_t()
+    rc = lib.ect_compress(data, len(data), k, out, cap, ctypes.byref(out_len))
+    if rc != 0:
+        raise ValueError(f"native compress failed (rc={rc})")
+    return out.raw[: out_len.value]
+
+
+def decompress(frame, k: int = 1, max_out: int | None = None) -> bytes:
+    """Reference-format decompress; ``max_out`` caps the output buffer."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    frame = bytes(frame)
+    cap = max_out if max_out is not None else max(len(frame) * 64, 1 << 20)
+    out = ctypes.create_string_buffer(cap)
+    out_len = ctypes.c_size_t()
+    rc = lib.ect_decompress(frame, len(frame), k, out, cap, ctypes.byref(out_len))
+    if rc != 0:
+        raise ValueError(f"native decompress failed (rc={rc})")
+    return out.raw[: out_len.value]
+
+
+def read_header(data) -> tuple[np.ndarray, int, int, int]:
+    """Parse a histogram header: (table, log2, table_len, header_bytes)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    data = bytes(data)
+    table = np.zeros(256, np.int32)
+    log2 = ctypes.c_int32()
+    tl = ctypes.c_int32()
+    n = lib.ect_read_header(data, len(data), table.ctypes.data_as(ctypes.c_void_p),
+                            ctypes.byref(log2), ctypes.byref(tl))
+    if n == 0:
+        raise ValueError("bad histogram header")
+    return table, int(log2.value), int(tl.value), int(n)
+
+
+def write_header(table, log2: int, table_len: int) -> bytes:
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    table = np.ascontiguousarray(table, np.int32)
+    cap = 1024
+    out = ctypes.create_string_buffer(cap)
+    n = lib.ect_write_header(table.ctypes.data_as(ctypes.c_void_p), log2,
+                             table_len, out, cap)
+    if n == 0:
+        raise ValueError("header write failed")
+    return out.raw[:n]
+
+
+def normalize(counts, size: int, log2: int = -1) -> tuple[np.ndarray, int]:
+    """Exact reference normalization; log2=-1 means optimal_log2."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    counts = np.ascontiguousarray(counts, np.uint32)
+    table = np.zeros(256, np.int32)
+    l2 = lib.ect_normalize(counts.ctypes.data_as(ctypes.c_void_p), size, log2,
+                           table.ctypes.data_as(ctypes.c_void_p))
+    if l2 < 0:
+        raise ValueError("normalization failed (degenerate input)")
+    return table, int(l2)

@@ -1,0 +1,29 @@
+"""Build the native host codec shared library with g++.
+
+Usage: ``python -m entropy_coders_tpu.native.build`` (or it builds lazily
+on first import of ``entropy_coders_tpu.native``).
+"""
+
+from __future__ import annotations
+
+import subprocess
+from pathlib import Path
+
+SRC = Path(__file__).parent / "fse_native.cpp"
+LIB = Path(__file__).parent / "libfse_native.so"
+
+
+def build(force: bool = False) -> Path:
+    if LIB.exists() and not force:
+        if LIB.stat().st_mtime >= SRC.stat().st_mtime:
+            return LIB
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "-o", str(LIB), str(SRC),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    return LIB
+
+
+if __name__ == "__main__":
+    print(build(force=True))

@@ -1,0 +1,97 @@
+"""Vectorized batch normalization for many blocks at once.
+
+Semantically identical to ``spec.histogram.Histogram.normalize``
+(reference: src/histogram.rs:93-155) but vectorized over a batch of block
+histograms with exact numpy uint64 fixed-point arithmetic (``t*step`` <
+2**62, no overflow). Rows that hit the rare slow path
+(src/histogram.rs:144-145) or the single-symbol early return fall back to
+the scalar spec implementation.
+
+Normalization is O(256) per block — host metadata work; the hot paths
+(counting, table build, coding) run on device.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .constants import TABLE_LOG_MAX, TABLE_LOG_MIN
+from .spec.histogram import RTB_TABLE, Histogram, NormHistogram
+
+_RTB = np.array(RTB_TABLE, dtype=np.uint64)
+
+
+def table_lens(counts: np.ndarray) -> np.ndarray:
+    """(B, 256) -> (B,) table_len per row (1 + last nonzero index)."""
+    nz = counts != 0
+    return np.where(nz.any(axis=1), 255 - np.argmax(nz[:, ::-1], axis=1) + 1, 1)
+
+
+def effective_log2(counts: np.ndarray, size: int, log2: int) -> np.ndarray:
+    """Per-row effective log2 after the reference's clamp
+    (src/histogram.rs:96-98)."""
+    tl = table_lens(counts)
+    base = min(max(log2, TABLE_LOG_MIN), TABLE_LOG_MAX)
+    min_l2 = np.floor(np.log2(np.maximum(tl - 1, 1))).astype(np.int64) + 2
+    return np.maximum(base, min_l2)
+
+
+def normalize_batch(counts: np.ndarray, size: int, log2: int):
+    """Normalize (B, 256) uint histograms of equal-size blocks.
+
+    Returns ``(tables (B,256) int32, log2s (B,) int64)``. ``log2`` is the
+    requested table log; per-row it may be raised by the reference's
+    table_len clamp (rare: only for blocks with few distinct symbols).
+    """
+    counts = np.asarray(counts, dtype=np.uint64)
+    B = counts.shape[0]
+    log2s = effective_log2(counts, size, log2)
+    tables = np.zeros((B, 256), dtype=np.int32)
+
+    for l2 in np.unique(log2s):
+        rows = np.flatnonzero(log2s == l2)
+        tables[rows] = _normalize_rows(counts[rows], size, int(l2))
+    return tables, log2s
+
+
+def _normalize_rows(t: np.ndarray, size: int, log2: int) -> np.ndarray:
+    """Fast-path vectorized normalize for rows sharing one log2."""
+    B = t.shape[0]
+    scale = np.uint64(62 - log2)
+    step = np.uint64((1 << 62) // size)
+    v_step = np.uint64(1) << np.uint64(62 - log2 - 20)
+    low_threshold = np.uint64(size >> log2)
+
+    nonzero = t != 0
+    is_low = nonzero & (t <= low_threshold)
+    main = nonzero & ~is_low
+
+    prod = t * step
+    prob = prod >> scale
+    small = main & (prob < 8)
+    rtb = _RTB[np.minimum(prob, 7).astype(np.int64)]
+    bump = small & ((prod - (prob << scale)) > (v_step * rtb))
+    prob = (prob + bump).astype(np.int64)
+
+    norm = np.where(main, prob, np.where(is_low, -1, 0)).astype(np.int64)
+
+    assigned = np.where(main, prob, np.where(is_low, 1, 0))
+    to_distribute = (1 << log2) - assigned.sum(axis=1)
+
+    # largest symbol: first index attaining the max prob among main-path
+    # symbols (strict '>' update in the reference => first max).
+    masked = np.where(main, prob, -1)
+    largest = np.argmax(masked, axis=1)
+    largest_prob = masked[np.arange(B), largest]
+
+    out = norm.astype(np.int32)
+    out[np.arange(B), largest] += to_distribute.astype(np.int32)
+
+    # rows needing exact scalar treatment: the degenerate single-symbol
+    # early return (t == size) and the slow path.
+    degenerate = (t == np.uint64(size)).any(axis=1)
+    slow = (to_distribute != 0) & (-to_distribute >= (largest_prob >> 1))
+    for r in np.flatnonzero(degenerate | slow):
+        h = Histogram.from_counts(t[r].astype(np.uint32), size)
+        out[r] = h.normalize(log2).table
+    return out

@@ -1,0 +1,11 @@
+"""Multi-chip / multi-host parallelism (jax.sharding over device meshes)."""
+
+from .sharding import block_sharding, compress, decompress, default_mesh, sharded_histogram
+
+__all__ = [
+    "block_sharding",
+    "compress",
+    "decompress",
+    "default_mesh",
+    "sharded_histogram",
+]

@@ -7,13 +7,26 @@ multi-chip path, and benches run on the real chip).
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. Force CPU: the ambient
+# environment may pre-set JAX_PLATFORMS to the real TPU (axon), but the
+# test suite needs 8 virtual devices and fast compiles; the bench and the
+# driver's dryrun exercise the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+# persistent compile cache: the suite compiles many (shape, k, log2)
+# variants of the scan kernels; cache them across runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS; the config
+# update is authoritative as long as it runs before first backend use.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

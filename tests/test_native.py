@@ -1,0 +1,76 @@
+"""C++ native host codec: byte-identical frames vs the spec, round trips,
+and header/normalize utilities."""
+
+import numpy as np
+import pytest
+
+from entropy_coders_tpu import native
+from entropy_coders_tpu.spec.codec import fse_compress, fse_decompress
+from entropy_coders_tpu.spec.histogram import Histogram, NormHistogram
+
+from conftest import gen_sequence
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native codec unavailable")
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 16])
+@pytest.mark.parametrize("size", [1024, 1025, 1027, 1 << 15])
+def test_native_matches_spec(k, size):
+    src = gen_sequence(0.2, size)
+    nat = native.compress(src.tobytes(), k=k)
+    ref = bytearray()
+    fse_compress(src, ref, k=k)
+    assert nat == bytes(ref)
+    assert native.decompress(nat, k=k, max_out=size + 16) == src.tobytes()
+
+
+@pytest.mark.parametrize("prob", [0.05, 0.5, 0.9])
+def test_native_cross_decode(prob):
+    src = gen_sequence(prob, 4096)
+    ref = bytearray()
+    fse_compress(src, ref, k=2)
+    assert native.decompress(bytes(ref), k=2, max_out=8192) == src.tobytes()
+    nat = native.compress(src.tobytes(), k=2)
+    dec = bytearray()
+    assert fse_decompress(nat, dec, k=2) == len(src)
+    assert bytes(dec) == src.tobytes()
+
+
+def test_native_header_roundtrip():
+    src = gen_sequence(0.2, 1 << 14)
+    norm = NormHistogram.new(src)
+    hdr = native.write_header(norm.table, norm.log2, norm.table_len)
+    spec_hdr = bytearray()
+    norm.write(spec_hdr)
+    assert hdr == bytes(spec_hdr)
+    table, log2, tl, nbytes = native.read_header(hdr + b"tail")
+    assert nbytes == len(hdr)
+    assert log2 == norm.log2 and tl == norm.table_len
+    np.testing.assert_array_equal(table, norm.table)
+
+
+def test_native_normalize_matches_spec(rng):
+    for prob in (0.05, 0.3, 0.9):
+        src = gen_sequence(prob, 1 << 14)
+        h = Histogram(src)
+        table, l2 = native.normalize(h.table, h.size)
+        ref = h.normalize(h.optimal_log2())
+        assert l2 == ref.log2
+        np.testing.assert_array_equal(table, ref.table)
+
+
+def test_native_normalize_slow_path(rng):
+    src = rng.integers(0, 256, 1 << 12, dtype=np.uint8)  # incompressible
+    h = Histogram(src)
+    table, l2 = native.normalize(h.table, h.size)
+    ref = h.normalize(h.optimal_log2())
+    assert l2 == ref.log2
+    np.testing.assert_array_equal(table, ref.table)
+
+
+def test_native_rejects_garbage():
+    with pytest.raises(ValueError):
+        native.decompress(b"\xff\xff\xff\xff", k=1, max_out=64)
+    with pytest.raises(ValueError):
+        native.normalize(np.zeros(256, np.uint32), 0)
