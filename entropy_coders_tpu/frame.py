@@ -22,9 +22,11 @@ import numpy as np
 
 from .constants import TABLE_LOG_DEFAULT
 from .normalize import normalize_batch
+from .ops import pl_coder as PL
 from .ops.coder import _cdiv, _decode_core, _encode_core
 from .ops.histogram import histogram_blocks
 from .ops.tables import build_decode_table, build_encode_table
+from .spec.fse import DecodeTable, EncodeTable
 from .spec.histogram import NormHistogram
 
 MAGIC = b"FSET"
@@ -34,6 +36,7 @@ FLAG_SHARED = 1
 MODE_FSE = 0
 MODE_RAW = 1
 MODE_RLE = 2
+MODE_FSE_PL = 3  # per-lane streams, Pallas TPU kernels (ops.pl_coder)
 
 DEFAULT_BLOCK_SIZE = 1 << 17
 DEFAULT_K = 1024
@@ -95,6 +98,19 @@ def _blocks_to_syms(blocks: np.ndarray, m: int, R: int, k: int):
 # --- compress ----------------------------------------------------------------
 
 
+def _pl_eligible(block_size: int, k: int, log2: int) -> bool:
+    """Whether a full block can take the per-lane-stream Pallas path
+    (MODE_FSE_PL): k a multiple of 128, block divisible into >= 2 bytes per
+    lane, worst-case lane bit count fits the u16 size field, and the table
+    small enough for the in-kernel one-hot gather (L <= 12)."""
+    if k % 128 != 0 or block_size % k != 0:
+        return False
+    q = block_size // k
+    if q < 2 or (q - 1) * log2 + log2 >= (1 << 16):
+        return False
+    return 5 <= log2 <= 12
+
+
 def compress(
     data,
     *,
@@ -103,8 +119,15 @@ def compress(
     shared_table: bool = False,
     table_log: int = TABLE_LOG_DEFAULT,
     sharding=None,
+    lanes: bool | None = None,
+    interpret: bool = False,
 ) -> bytes:
-    """Compress ``data`` into a TPU container frame (FORMAT.md)."""
+    """Compress ``data`` into a TPU container frame (FORMAT.md).
+
+    ``lanes`` selects the per-lane-stream block mode (MODE_FSE_PL, Pallas
+    TPU kernels): None = auto (on TPU backends when eligible), True/False
+    to force. ``interpret`` runs the Pallas kernels in interpreter mode
+    (for CPU testing)."""
     data = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) else np.asarray(data, np.uint8)
     if block_size < 16:
         raise ValueError("block_size must be >= 16")
@@ -145,10 +168,12 @@ def compress(
                 norm_tables, log2_arr = normalize_batch(
                     counts[codable], block_size, table_log
                 )
+            if lanes is None:
+                lanes = jax.default_backend() == "tpu"
             _encode_group(
                 blocks[codable], norm_tables, log2_arr, k,
                 shared_table, sections, modes, codable,
-                sharding=sharding,
+                sharding=sharding, lanes=lanes, interpret=interpret,
             )
 
     if full * block_size < total_len:  # ragged tail block
@@ -160,7 +185,7 @@ def compress(
     raw_lens = [min(block_size, total_len - i * block_size) for i in range(n_blocks)]
     for i in range(n_blocks):
         raw = data[i * block_size : i * block_size + raw_lens[i]]
-        if modes[i] == MODE_FSE and len(sections[i]) >= raw_lens[i]:
+        if modes[i] in (MODE_FSE, MODE_FSE_PL) and len(sections[i]) >= raw_lens[i]:
             modes[i] = MODE_RAW
             sections[i] = raw.tobytes()
         if modes[i] != MODE_RLE and raw_lens[i] > 1 and (raw == raw[0]).all():
@@ -198,20 +223,54 @@ def _frame_header(total_len, k, block_size, n_blocks, shared) -> bytes:
     )
 
 
+def _encode_group_pl(blocks, norm_tables, l2, k, shared_table,
+                     sections, modes, block_ids, interpret=False):
+    """Per-lane-stream (MODE_FSE_PL) batched encode of equal-size blocks
+    sharing one table log2, on the Pallas TPU kernels (ops.pl_coder)."""
+    B, n = blocks.shape
+    R = n // k - 1
+    syms = blocks[:, : R * k].reshape(B, R, k)
+    init_syms = np.ascontiguousarray(blocks[:, R * k:])
+    encs = []
+    for r in range(B):
+        hist = NormHistogram(norm_tables[r], int(l2), _tl(norm_tables[r]))
+        et = EncodeTable(hist)
+        encs.append((et.table, et.tt_bits, et.tt_find_state))
+    W = PL.encode_w_bound(R, int(l2))
+    words, sizes = PL.encode_lanes(syms, init_syms, encs, k=k, L=int(l2),
+                                   W=W, interpret=interpret)
+    for j, r in enumerate(range(B)):
+        payload = PL.lane_merge(words[j], sizes[j])
+        sec = sizes[j].astype("<u2").tobytes() + payload
+        if not shared_table:
+            hdr = bytearray()
+            NormHistogram(norm_tables[r], int(l2), _tl(norm_tables[r])).write(hdr)
+            sec = bytes(hdr) + sec
+        sections[block_ids[r]] = sec
+        modes[block_ids[r]] = MODE_FSE_PL
+
+
 def _encode_group(blocks, norm_tables, log2_arr, k, shared_table,
-                  sections, modes, block_ids, sharding=None):
+                  sections, modes, block_ids, sharding=None, lanes=False,
+                  interpret=False):
     """Batched encode of equal-size blocks, grouped by effective log2.
 
     With ``sharding`` (a NamedSharding over the block axis), inputs are
     placed across the mesh and XLA partitions the whole batched
     encode — each chip encodes its blocks independently (data parallel
-    over blocks, no cross-chip communication in the encode itself)."""
+    over blocks, no cross-chip communication in the encode itself).
+    With ``lanes``, eligible groups take the per-lane-stream Pallas path."""
     B, n = blocks.shape
     m, R, valid, finish_slots, W = _encode_layout(n, k)
     syms, init_syms = _blocks_to_syms(blocks, m, R, k)
 
     for l2 in np.unique(log2_arr):
         rows = np.flatnonzero(log2_arr == l2)
+        if lanes and sharding is None and _pl_eligible(n, k, int(l2)):
+            _encode_group_pl(blocks[rows], norm_tables[rows], int(l2), k,
+                             shared_table, sections, modes, block_ids[rows],
+                             interpret=interpret)
+            continue
         nrows = len(rows)
         pad_rows = 0
         if sharding is not None:
@@ -307,7 +366,7 @@ def _parse_frame(frame: bytes) -> _ParsedFrame:
                         shared_hdr, modes, sections)
 
 
-def decompress(frame: bytes, *, sharding=None) -> bytes:
+def decompress(frame: bytes, *, sharding=None, interpret: bool = False) -> bytes:
     """Decompress a TPU container frame back to bytes."""
     pf = _parse_frame(frame)
     out = np.zeros(pf.total_len, np.uint8)
@@ -324,6 +383,7 @@ def decompress(frame: bytes, *, sharding=None) -> bytes:
 
     # group FSE blocks by (raw_len, log2) for batched decode
     groups: dict[tuple[int, int], list[tuple[int, bytes, np.ndarray]]] = {}
+    pl_groups: dict[tuple[int, int], list[tuple[int, bytes, np.ndarray]]] = {}
     for i in range(pf.n_blocks):
         mode, sec, rl = int(pf.modes[i]), pf.sections[i], raw_lens[i]
         o = i * pf.block_size
@@ -339,12 +399,56 @@ def decompress(frame: bytes, *, sharding=None) -> bytes:
             else:
                 norm, payload = NormHistogram.read(sec)
             groups.setdefault((rl, norm.log2), []).append((i, payload, norm.table))
+        elif mode == MODE_FSE_PL:
+            if pf.shared:
+                norm, payload = shared_norm, sec
+            else:
+                norm, payload = NormHistogram.read(sec)
+            pl_groups.setdefault((rl, norm.log2), []).append(
+                (i, payload, norm.table))
         else:
             raise ValueError(f"bad block mode {mode}")
 
     for (rl, log2), items in groups.items():
         _decode_group(items, rl, log2, pf, out, raw_lens, sharding=sharding)
+    for (rl, log2), items in pl_groups.items():
+        _decode_group_pl(items, rl, log2, pf, out, interpret=interpret)
     return out.tobytes()
+
+
+def _decode_group_pl(items, raw_len, log2, pf, out, interpret=False):
+    """Batched decode of MODE_FSE_PL blocks (per-lane streams) sharing one
+    (raw_len, log2), on the Pallas TPU kernels."""
+    k = pf.k
+    if raw_len % k != 0 or raw_len // k < 2:
+        raise ValueError("corrupt frame: FSE_PL block not lane-divisible")
+    R = raw_len // k - 1
+    B = len(items)
+    sizes = np.zeros((B, k), np.int32)
+    words_list = []
+    packed = np.zeros((B, 1 << log2), np.uint32)
+    for j, (i, sec, nt) in enumerate(items):
+        if len(sec) < 2 * k:
+            raise ValueError(f"block {i}: truncated lane sizes")
+        sz = np.frombuffer(sec[: 2 * k], "<u2").astype(np.int32)
+        if (sz < log2).any():
+            raise ValueError(f"block {i}: lane stream shorter than a state")
+        sizes[j] = sz
+        w, Wb = PL.lane_split(sec[2 * k:], sz, k)
+        words_list.append(w)
+        hist = NormHistogram(nt, log2, _tl(nt))
+        dt = DecodeTable(hist)
+        packed[j, : dt.packed.shape[0]] = dt.packed
+    W = -(-max(w.shape[0] for w in words_list) // 16) * 16  # bucket compiles
+    words = np.zeros((B, W, k), np.uint32)
+    for j, w in enumerate(words_list):
+        words[j, : w.shape[0]] = w
+    syms, finals = PL.decode_lanes(words, sizes, packed, k=k, L=log2, R=R,
+                                   interpret=interpret)
+    for j, (i, _, _) in enumerate(items):
+        o = i * pf.block_size
+        out[o : o + R * k] = syms[j].reshape(-1)
+        out[o + R * k : o + raw_len] = finals[j]
 
 
 def _decode_group(items, raw_len, log2, pf, out, raw_lens, sharding=None):

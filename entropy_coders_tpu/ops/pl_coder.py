@@ -1,0 +1,466 @@
+"""Pallas TPU kernels: per-lane-stream tANS encode/decode (the flagship path).
+
+Design (TPU-first, see README / FORMAT.md). The reference's decode loop is a
+serial state machine (reference: src/lib.rs:198-207, src/fse.rs:363-373). The
+TPU inversion used here goes beyond the shared-bitstream interleave of
+``ops.coder``: each of k lanes (k = S*128, thousands) owns its *own* bit
+stream — lane i codes the byte subsequence {i, i+k, i+2k, ...} as exactly a
+reference-format single-stream FSE payload (reversed LSB-first bit stack,
+initial state folding the lane's last byte, final state in table_log bits —
+reference: src/lib.rs:112-143 semantics per lane). All lanes advance in
+lockstep, one symbol per round, fully vectorized. Key mechanics:
+
+* the 2^L-entry tANS table lookup is HI-way ``take_along_axis`` lane
+  gathers (Mosaic's native per-sublane dynamic gather; state = hi*128+lo,
+  gather each 128-wide hi-row at ``lo`` and select by ``hi``) — the packed
+  u32 entries ride the gather whole, no decomposition needed;
+* bit I/O goes through a per-lane 64-bit register window (two i32 regs)
+  over the lane's word column; the window moves one word per epoch at
+  most, so the only memory-indexed operation is ONE masked row-reduction
+  over the (W, S, 128) stream array per E-round epoch;
+* the kernel is grid-pipelined: grid = (blocks, round-chunks); raw-symbol
+  tiles stream HBM<->VMEM via BlockSpec index maps while per-lane states,
+  cursors and window registers live in VMEM scratch carried across steps.
+
+Exact-semantics contract: each lane's bit stream is bit-identical to the
+reference encoder run on that lane's subsequence (enforced by
+tests/test_pl_coder.py against ``spec``).
+
+Word/bit addressing: bit j of a lane's stream lives in word j>>5 at position
+j&31 (LSB-first, same as the reference's BitStackWriter byte layout,
+reference: src/bitstream/writer.rs:177-178).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = [
+    "decode_lanes",
+    "encode_lanes",
+    "encode_w_bound",
+    "lane_split",
+    "lane_merge",
+]
+
+# Rounds per grid step. The register-window bit I/O guarantees one refill /
+# flush per epoch covers E*L bits, which requires E*L <= 32; E=2 holds for
+# every legal table log (L <= 15) and measured fastest (larger unrolls blow
+# up Mosaic compile time).
+E = 2
+
+_CP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _shr_u(x, n):
+    return lax.shift_right_logical(x, n)
+
+
+# ---------------------------------------------------------------------------
+# Host-side table preparation
+# ---------------------------------------------------------------------------
+
+
+def _table_rows(values: np.ndarray) -> np.ndarray:
+    """(n,) int table -> (max(n//128,1), 128) int32 rows for the in-kernel
+    HI-way lane gather (entry i lives at [i >> 7, i & 127])."""
+    v = np.asarray(values).astype(np.int64)
+    if v.shape[0] < 128:
+        v = np.pad(v, (0, 128 - v.shape[0]))
+    return v.reshape(-1, 128).astype(np.uint32).view(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel primitives (operate on concrete arrays, not refs)
+# ---------------------------------------------------------------------------
+
+
+def _gather_rows(tbl, idx, hi_n, S):
+    """Gather tbl[idx] where tbl is (hi_n, 128) int32 rows of a 2^L-entry
+    table and idx is (S, 128) int32 in [0, hi_n*128): HI lane gathers, one
+    per row, selected by the high bits. Mosaic lowers take_along_axis to
+    its native per-sublane dynamic gather."""
+    lo = idx & 127
+    hi = _shr_u(idx, 7)
+    acc = jnp.zeros((S, 128), jnp.int32)
+    for h in range(hi_n):
+        row = jnp.broadcast_to(tbl[h:h + 1, :], (S, 128))
+        g = jnp.take_along_axis(row, lo, axis=1)
+        acc = jnp.where(hi == h, g, acc) if hi_n > 1 else g
+    return acc
+
+
+def _fetch_row(words, wa):
+    """Per-lane words[wa[s,l], s, l] from the (W,S,128) stream array via a
+    masked row-reduction (no dynamic addressing). One pass over words."""
+    rows = lax.broadcasted_iota(jnp.int32, words.shape, 0)
+    return jnp.sum(jnp.where(rows == wa[None], words, 0), axis=0)
+
+
+def _extract(a, b, off, nb):
+    """Bits [off, off+nb) of the little-endian 64-bit pair (b:a), a = low
+    word; off in [0,32), nb in [0,16]. (b<<1)<<(31-off) == b<<(32-off) but
+    is well-defined at off == 0."""
+    lo = _shr_u(a, off)
+    hi = lax.shift_left(lax.shift_left(b, 1), 31 - off)
+    mask = lax.shift_left(jnp.int32(1), nb) - 1
+    return (lo | hi) & mask
+
+
+def _read_window(blo, bhi, off, nb):
+    """Bits [off, off+nb) of the 64-bit register window (bhi:blo); off in
+    [0, 64-nb]. When off >= 32 the read sits entirely in bhi (callers
+    guarantee off+nb <= 64), so _extract's b-term is masked out anyway."""
+    a = jnp.where(off >= 32, bhi, blo)
+    return _extract(a, bhi, off & 31, nb)
+
+
+# ---------------------------------------------------------------------------
+# Decode kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
+                   finals_ref, err_ref,
+                   state_s, cur_s, wb_s, blo_s, bhi_s,
+                   *, S, W, L, R, G, hi_n):
+    r = pl.program_id(1)
+    words = words_ref[0]
+    tbl = tbl_ref[0]
+
+    @pl.when(r == 0)
+    def _init():
+        c = sizes_ref[0] - L
+        wb = _shr_u(jnp.maximum(c, 0), 5)
+        blo = _fetch_row(words, wb)
+        bhi = _fetch_row(words, wb + 1)
+        state_s[:] = _read_window(blo, bhi, c - wb * 32,
+                                  jnp.full((S, 128), L, jnp.int32))
+        cur_s[:] = c
+        wb_s[:] = wb
+        blo_s[:] = blo
+        bhi_s[:] = bhi
+
+    states, c = state_s[:], cur_s[:]
+    wb, blo, bhi = wb_s[:], blo_s[:], bhi_s[:]
+
+    # one conditional window slide per epoch keeps >= 2L >= E*L bits readable
+    refill = (c - wb * 32) < 2 * L
+    wb2 = wb - 1
+    nv = _fetch_row(words, wb2)
+    bhi = jnp.where(refill, blo, bhi)
+    blo = jnp.where(refill, nv, blo)
+    wb = jnp.where(refill, wb2, wb)
+
+    for e in range(E):
+        pk = _gather_rows(tbl, states, hi_n, S)
+        sym = _shr_u(pk, 24) & 0xFF
+        nb = _shr_u(pk, 16) & 0xFF
+        base = pk & 0xFFFF
+        active = (r * E + e) < R
+        nb = jnp.where(active, nb, 0)
+        c = c - nb
+        low = _read_window(blo, bhi, c - wb * 32, nb)
+        states = jnp.where(active, base + low, states)
+        syms_ref[0, e] = sym.astype(jnp.uint8)
+
+    state_s[:], cur_s[:] = states, c
+    wb_s[:], blo_s[:], bhi_s[:] = wb, blo, bhi
+
+    @pl.when(r == G - 1)
+    def _fin():
+        pk = _gather_rows(tbl, states, hi_n, S)
+        finals_ref[0] = _shr_u(pk, 24) & 0xFF
+        err_ref[0, 0, 0] = jnp.sum(jnp.abs(c))
+
+
+@functools.partial(jax.jit, static_argnames=("S", "W", "L", "R", "interpret"))
+def _decode_call(words, sizes, tbl, *, S, W, L, R, interpret=False):
+    B = words.shape[0]
+    G = _cdiv(R, E)
+    hi_n = max((1 << L) // 128, 1)
+    kern = functools.partial(_decode_kernel, S=S, W=W, L=L, R=R, G=G,
+                             hi_n=hi_n)
+    scr = pltpu.VMEM((S, 128), jnp.int32)
+    syms, finals, err = pl.pallas_call(
+        kern,
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec((1, W, S, 128), lambda b, r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hi_n, 128), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, E, S, 128), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, G * E, S, 128), jnp.uint8),
+            jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
+        ],
+        scratch_shapes=[scr, scr, scr, scr, scr],
+        compiler_params=_CP,
+        interpret=interpret,
+    )(words, sizes, tbl)
+    return syms, finals, err
+
+
+def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False):
+    """Decode B blocks of k per-lane streams.
+
+    words: (B, W, k) uint32 — per-lane stream words; words[b, w, i] is word
+      w of lane i of block b (with >= 2 zero guard rows at the top).
+    sizes: (B, k) int32 — per-lane total bit counts.
+    packed_tables: (B, 2^L) uint32 decode tables (sym<<24|nb<<16|base,
+      ops.tables / spec.fse layout).
+    Returns (syms (B, R, k) uint8, finals (B, k) uint8); raises ValueError
+    on a corrupt stream (any lane cursor not exactly drained)."""
+    B, W, kk = words.shape
+    assert kk == k and k % 128 == 0, (kk, k)
+    S = k // 128
+    interpret = interpret or jax.default_backend() != "tpu"
+    tbl = np.stack([_table_rows(packed_tables[b]) for b in range(B)])
+    syms, finals, err = _decode_call(
+        jnp.asarray(np.ascontiguousarray(words).view(np.int32)
+                    .reshape(B, W, S, 128)),
+        jnp.asarray(np.asarray(sizes, np.int32).reshape(B, S, 128)),
+        jnp.asarray(tbl),
+        S=S, W=W, L=L, R=R, interpret=interpret,
+    )
+    if int(jnp.sum(err)) != 0:
+        raise ValueError("corrupt stream: lane cursor not drained")
+    syms = np.asarray(syms).reshape(B, -1, k)[:, :R]
+    finals = np.asarray(finals).astype(np.uint8).reshape(B, k)
+    return syms, finals
+
+
+# ---------------------------------------------------------------------------
+# Encode kernel
+# ---------------------------------------------------------------------------
+
+
+def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
+                   words_ref, sizes_ref,
+                   words_s, state_s, cur_s, wb_s, blo_s, bhi_s,
+                   *, S, W, L, R, G, hi_n):
+    r = pl.program_id(1)
+    symt = symt_ref[0]  # (4,128): [tb_hi0, tb_hi1, fs_hi0+2^15, fs_hi1+2^15]
+    stt = stt_ref[0]    # (hi_n,128) next-state table
+    rows = lax.broadcasted_iota(jnp.int32, (W, S, 128), 0)
+
+    def _sym_transform(sym):
+        tb = _gather_rows(symt[0:2], sym, 2, S)
+        fs = _gather_rows(symt[2:4], sym, 2, S) - (1 << 15)
+        return tb, fs
+
+    @pl.when(r == 0)
+    def _init():
+        words_s[:] = jnp.zeros((W, S, 128), jnp.int32)
+        # new_first_symbol (reference: src/fse.rs:210-218)
+        sym = init_ref[0].astype(jnp.int32)
+        tb, fs = _sym_transform(sym)
+        bits_out0 = _shr_u(tb + (1 << 15), 16)
+        value0 = lax.shift_left(bits_out0, 16) - tb
+        state_s[:] = _gather_rows(stt, _shr_u(value0, bits_out0) + fs,
+                                  hi_n, S)
+        cur_s[:] = jnp.zeros((S, 128), jnp.int32)
+        wb_s[:] = jnp.zeros((S, 128), jnp.int32)
+        blo_s[:] = jnp.zeros((S, 128), jnp.int32)
+        bhi_s[:] = jnp.zeros((S, 128), jnp.int32)
+
+    states, c = state_s[:], cur_s[:]
+    wb, blo, bhi = wb_s[:], blo_s[:], bhi_s[:]
+    words = words_s[:]
+
+    # one conditional window flush per epoch (bit ranges disjoint -> add
+    # into the zero-initialized array is exact)
+    flush = (c - wb * 32) >= 32
+    wsel = jnp.where(flush, wb, -1)
+    words = words + jnp.where(rows == wsel[None], blo[None], 0)
+    blo = jnp.where(flush, bhi, blo)
+    bhi = jnp.where(flush, 0, bhi)
+    wb = jnp.where(flush, wb + 1, wb)
+
+    def _put(blo, bhi, off, val):
+        # insert val's bits at [off, off+nb) in the window; off in [0,62)
+        offm = off & 31
+        lov = lax.shift_left(val, offm)
+        hiv = _shr_u(_shr_u(val, 1), 31 - offm)  # val >> (32-offm)
+        lo32 = off < 32
+        blo = blo | jnp.where(lo32, lov, 0)
+        bhi = bhi | jnp.where(lo32, hiv, lov)
+        return blo, bhi
+
+    for e in range(E):
+        sym = syms_ref[0, e].astype(jnp.int32)
+        tb, fs = _sym_transform(sym)
+        bits_out = _shr_u(tb + states, 16)
+        active = (r * E + e) < R
+        bits_out = jnp.where(active, bits_out, 0)
+        val = states & (lax.shift_left(jnp.int32(1), bits_out) - 1)
+        nstate = _gather_rows(stt, _shr_u(states, bits_out) + fs, hi_n, S)
+        states = jnp.where(active, nstate, states)
+        blo, bhi = _put(blo, bhi, c - wb * 32, val)
+        c = c + bits_out
+
+    @pl.when(r == G - 1)
+    def _fin():
+        # finish: final state's low L bits (reference: src/fse.rs:248-250),
+        # after one more conditional flush so the window can take L bits
+        fl = (c - wb * 32) >= 32
+        wsel2 = jnp.where(fl, wb, -1)
+        w2 = words + jnp.where(rows == wsel2[None], blo[None], 0)
+        blo2 = jnp.where(fl, bhi, blo)
+        bhi2 = jnp.where(fl, 0, bhi)
+        wb2 = jnp.where(fl, wb + 1, wb)
+        blo3, bhi3 = _put(blo2, bhi2, c - wb2 * 32, states & ((1 << L) - 1))
+        w2 = w2 + jnp.where(rows == wb2[None], blo3[None], 0)
+        w2 = w2 + jnp.where(rows == (wb2[None] + 1), bhi3[None], 0)
+        words_ref[0] = w2
+        sizes_ref[0] = c + L
+
+    state_s[:], cur_s[:] = states, c
+    wb_s[:], blo_s[:], bhi_s[:] = wb, blo, bhi
+    words_s[:] = words
+
+
+@functools.partial(jax.jit, static_argnames=("S", "W", "L", "R", "interpret"))
+def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
+                 interpret=False):
+    B = syms_rev.shape[0]
+    G = _cdiv(R, E)
+    hi_n = max((1 << L) // 128, 1)
+    pad_r = G * E - R
+    if pad_r:
+        syms_rev = jnp.concatenate(
+            [syms_rev, jnp.zeros((B, pad_r, S, 128), jnp.uint8)], axis=1)
+    kern = functools.partial(_encode_kernel, S=S, W=W, L=L, R=R, G=G,
+                             hi_n=hi_n)
+    scr = pltpu.VMEM((S, 128), jnp.int32)
+    words, sizes = pl.pallas_call(
+        kern,
+        grid=(B, G),
+        in_specs=[
+            # syms_rev round t encodes raw round R-1-t; grid step r reads
+            # tile t in [r*E, (r+1)*E)
+            pl.BlockSpec((1, E, S, 128), lambda b, r: (b, r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, 128), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hi_n, 128), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W, S, 128), lambda b, r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, W, S, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((W, S, 128), jnp.int32),
+                        scr, scr, scr, scr, scr],
+        compiler_params=_CP,
+        interpret=interpret,
+    )(syms_rev, init_syms, symt, stt)
+    return words, sizes
+
+
+def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False):
+    """Encode B blocks of k per-lane streams.
+
+    syms: (B, R, k) uint8 — round-major lane symbols (round r, lane i = byte
+      r*k + i of the block; the kernel consumes rounds in reverse).
+    init_syms: (B, k) uint8 — each lane's LAST byte (folded into the initial
+      state, reference src/fse.rs:210-218).
+    enc_tables: list of B (table, tt_bits, tt_fs) tuples (spec.fse layout:
+      tt_bits < 2^24, |tt_fs| < 2^15, table values < 2^16).
+    W: word rows to allocate (>= worst-case lane bits/32 + 2 guard rows;
+      see encode_w_bound).
+    Returns (words (B, W, k) uint32, sizes (B, k) int32 bit counts)."""
+    B, R, kk = syms.shape
+    assert kk == k and k % 128 == 0
+    S = k // 128
+    interpret = interpret or jax.default_backend() != "tpu"
+    symt, stt = [], []
+    for (t, tb, fs) in enc_tables:
+        tbr = _table_rows(tb)                      # (2,128)
+        fsr = _table_rows(np.asarray(fs, np.int64) + (1 << 15))
+        symt.append(np.concatenate([tbr, fsr]))    # (4,128)
+        stt.append(_table_rows(t))
+    syms_rev = np.ascontiguousarray(
+        np.asarray(syms, np.uint8)[:, ::-1]).reshape(B, R, S, 128)
+    words, sizes = _encode_call(
+        jnp.asarray(syms_rev),
+        jnp.asarray(np.asarray(init_syms, np.uint8).reshape(B, S, 128)),
+        jnp.asarray(np.stack(symt)), jnp.asarray(np.stack(stt)),
+        S=S, W=W, L=L, R=R, interpret=interpret,
+    )
+    words = np.ascontiguousarray(np.asarray(words)).view(np.uint32).reshape(B, W, k)
+    sizes = np.asarray(sizes).reshape(B, k)
+    return words, sizes
+
+
+def encode_w_bound(R: int, L: int) -> int:
+    """Worst-case word rows per lane: R rounds of <= L bits each plus the
+    final L-bit state (new_first_symbol emits no bits), plus 2 guard rows."""
+    return _cdiv(R * L + L, 32) + 2
+
+
+# ---------------------------------------------------------------------------
+# Host-side lane split/merge (wire <-> padded (W, k) layout)
+# ---------------------------------------------------------------------------
+
+
+def lane_split(payload: bytes, sizes_bits: np.ndarray, k: int):
+    """Split a wire payload of byte-aligned concatenated lane streams into
+    the padded (W, k) uint32 array the decode kernel wants. Returns
+    (words (W, k) uint32, W)."""
+    sizes_bits = np.asarray(sizes_bits, np.int64)
+    assert sizes_bits.shape == (k,)
+    nbytes = (sizes_bits + 7) // 8
+    offs = np.concatenate([[0], np.cumsum(nbytes)])
+    W = int((int(sizes_bits.max()) + 31) // 32) + 2
+    buf = np.frombuffer(payload, np.uint8)
+    if offs[-1] > len(buf):
+        raise ValueError("lane payload too short")
+    lane_bytes = np.zeros((k, W * 4), np.uint8)
+    idx = offs[:-1, None] + np.arange(W * 4)[None, :]
+    mask = np.arange(W * 4)[None, :] < nbytes[:, None]
+    np.copyto(lane_bytes, buf[np.minimum(idx, len(buf) - 1)], where=mask)
+    words = lane_bytes.view(np.uint32).reshape(k, W).T  # (W, k)
+    return np.ascontiguousarray(words), W
+
+
+def lane_merge(words: np.ndarray, sizes_bits: np.ndarray) -> bytes:
+    """Inverse of lane_split: compact padded (W, k) words into byte-aligned
+    concatenated lane streams."""
+    W, k = words.shape
+    sizes_bits = np.asarray(sizes_bits, np.int64)
+    nbytes = (sizes_bits + 7) // 8
+    lane_bytes = np.ascontiguousarray(words.T).view(np.uint8).reshape(k, W * 4)
+    mask = np.arange(W * 4)[None, :] < nbytes[:, None]
+    return lane_bytes[mask].tobytes()

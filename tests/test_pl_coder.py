@@ -1,0 +1,148 @@
+"""Exactness tests for the per-lane-stream Pallas kernels (ops.pl_coder).
+
+Run in Pallas interpreter mode on the CPU backend; the same kernels are
+verified on real TPU hardware by bench.py / scratch checks. The oracle is
+``spec``: each lane's bit stream must be bit-identical to the reference
+encoder run on that lane's strided subsequence (reference semantics:
+src/lib.rs:112-143 per lane)."""
+
+import numpy as np
+import pytest
+
+from entropy_coders_tpu.ops import pl_coder as PL
+from entropy_coders_tpu.spec.bitstream import BitStackWriter
+from entropy_coders_tpu.spec.fse import DecodeTable, EncodeTable, Encoder
+from entropy_coders_tpu.spec.histogram import NormHistogram
+
+
+def oracle_lane_stream(seq, enc: EncodeTable):
+    """Reference-format single-stream payload for one lane (no header, no
+    marker bit): reversed consume, init folds the last byte, finish appends
+    the final state in table_log bits."""
+    out = bytearray()
+    w = BitStackWriter(out)
+    e = Encoder.new_first_symbol(enc, int(seq[-1]))
+    for b in seq[-2::-1]:
+        e.encode(w, int(b))
+    e.finish(w)
+    bits = w.finish()
+    return bytes(out), bits
+
+
+def _mk(seed, B, k, Q, gen):
+    rng = np.random.default_rng(seed)
+    n = k * Q
+    datas = [gen(rng, n) for _ in range(B)]
+    hists = [NormHistogram.new(d) for d in datas]
+    return datas, hists
+
+
+def _oracle_blocks(datas, hists, k):
+    Ls = [h.log2 for h in hists]
+    L = Ls[0]
+    assert all(x == L for x in Ls)
+    encs, packs, words_list, sizes_list = [], [], [], []
+    for data, hist in zip(datas, hists):
+        enc, dec = EncodeTable(hist), DecodeTable(hist)
+        encs.append((enc.table, enc.tt_bits, enc.tt_find_state))
+        packs.append(dec.packed)
+        lane_payloads, lane_bits = [], []
+        for i in range(k):
+            p, bits = oracle_lane_stream(data[i::k], enc)
+            lane_payloads.append(p)
+            lane_bits.append(bits)
+        w, W = PL.lane_split(b"".join(lane_payloads), np.array(lane_bits), k)
+        words_list.append(w)
+        sizes_list.append(np.array(lane_bits, np.int32))
+    W = max(w.shape[0] for w in words_list)
+    words = np.zeros((len(datas), W, k), np.uint32)
+    for b, w in enumerate(words_list):
+        words[b, : w.shape[0]] = w
+    return L, encs, np.stack(packs), words, np.stack(sizes_list)
+
+
+def geo(rng, n):
+    return (rng.integers(0, 40, n, dtype=np.uint16) ** 2 % 251).astype(np.uint8)
+
+
+def narrow(rng, n):
+    return rng.integers(0, 4, n, dtype=np.uint8)
+
+
+@pytest.mark.parametrize("gen,Q", [(geo, 16), (narrow, 9)])
+def test_decode_lanes_bit_exact(gen, Q):
+    B, k = 2, 256
+    datas, hists = _mk(7, B, k, Q, gen)
+    L, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
+    R = Q - 1
+    syms, finals = PL.decode_lanes(words, sizes, packs, k=k, L=L, R=R,
+                                   interpret=True)
+    for b, data in enumerate(datas):
+        got = np.concatenate([syms[b].reshape(-1), finals[b]])
+        assert got.tobytes() == data.tobytes()
+
+
+@pytest.mark.parametrize("gen,Q", [(geo, 16), (narrow, 9)])
+def test_encode_lanes_bit_exact(gen, Q):
+    B, k = 2, 256
+    datas, hists = _mk(11, B, k, Q, gen)
+    L, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
+    R = Q - 1
+    syms_in = np.stack([d[: R * k].reshape(R, k) for d in datas])
+    init_syms = np.stack([d[R * k:] for d in datas])
+    We = PL.encode_w_bound(R, L)
+    kw, ks = PL.encode_lanes(syms_in, init_syms, encs, k=k, L=L, W=We,
+                             interpret=True)
+    assert (ks == sizes).all()
+    for b in range(B):
+        got = PL.lane_merge(kw[b], ks[b])
+        pad = np.zeros((We - words.shape[1], k), np.uint32)
+        expect = PL.lane_merge(np.concatenate([words[b], pad]), sizes[b])
+        assert got == expect
+
+
+def test_corrupt_stream_raises():
+    B, k, Q = 1, 256, 16
+    datas, hists = _mk(3, B, k, Q, geo)
+    L, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
+    words = words.copy()
+    words[0, 0, :] ^= 0xFFFF  # clobber low words -> cursors misalign
+    with pytest.raises(ValueError):
+        # some lane must fail to drain exactly
+        PL.decode_lanes(words, sizes + 3, packs, k=k, L=L, R=Q - 1,
+                        interpret=True)
+
+
+def test_lane_split_merge_roundtrip():
+    rng = np.random.default_rng(0)
+    k = 256
+    sizes = rng.integers(9, 200, k).astype(np.int64)
+    payload = rng.integers(0, 255, int(((sizes + 7) // 8).sum()),
+                           dtype=np.uint8)
+    # zero any dead bits above each lane's size so merge == split input
+    words, W = PL.lane_split(payload.tobytes(), sizes, k)
+    back = PL.lane_merge(words, sizes)
+    assert back == payload.tobytes()
+
+
+def test_frame_pl_roundtrip():
+    from entropy_coders_tpu import frame as F
+    rng = np.random.default_rng(5)
+    data = geo(rng, 3 * 4096 + 777)  # 3 full blocks + ragged tail
+    comp = F.compress(data, block_size=4096, k=256, lanes=True,
+                      interpret=True)
+    out = F.decompress(comp, interpret=True)
+    assert out == data.tobytes()
+    # PL mode actually used on the full blocks
+    pf = F._parse_frame(comp)
+    assert (pf.modes[:3] == F.MODE_FSE_PL).all()
+
+
+def test_frame_pl_shared_table_roundtrip():
+    from entropy_coders_tpu import frame as F
+    rng = np.random.default_rng(6)
+    data = geo(rng, 2 * 4096)
+    comp = F.compress(data, block_size=4096, k=256, lanes=True,
+                      shared_table=True, interpret=True)
+    out = F.decompress(comp, interpret=True)
+    assert out == data.tobytes()
