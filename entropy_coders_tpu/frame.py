@@ -111,13 +111,18 @@ def _pl_eligible(block_size: int, k: int, log2: int) -> bool:
     return 5 <= log2 <= 12
 
 
+PL_TABLE_LOG = 10  # flagship default: decode cost scales with 2^L/128
+                   # in-kernel gathers; 10 costs ~0.1% ratio vs 11 on the
+                   # bench distribution for ~1.5x the decode speed
+
+
 def compress(
     data,
     *,
     block_size: int = DEFAULT_BLOCK_SIZE,
     k: int = DEFAULT_K,
     shared_table: bool = False,
-    table_log: int = TABLE_LOG_DEFAULT,
+    table_log: int | None = None,
     sharding=None,
     lanes: bool | None = None,
     interpret: bool = False,
@@ -126,8 +131,13 @@ def compress(
 
     ``lanes`` selects the per-lane-stream block mode (MODE_FSE_PL, Pallas
     TPU kernels): None = auto (on TPU backends when eligible), True/False
-    to force. ``interpret`` runs the Pallas kernels in interpreter mode
-    (for CPU testing)."""
+    to force. ``table_log`` defaults to PL_TABLE_LOG on the lanes path and
+    TABLE_LOG_DEFAULT otherwise. ``interpret`` runs the Pallas kernels in
+    interpreter mode (for CPU testing)."""
+    if lanes is None:
+        lanes = jax.default_backend() == "tpu" and sharding is None
+    if table_log is None:
+        table_log = PL_TABLE_LOG if lanes else TABLE_LOG_DEFAULT
     data = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) else np.asarray(data, np.uint8)
     if block_size < 16:
         raise ValueError("block_size must be >= 16")
@@ -168,8 +178,6 @@ def compress(
                 norm_tables, log2_arr = normalize_batch(
                     counts[codable], block_size, table_log
                 )
-            if lanes is None:
-                lanes = jax.default_backend() == "tpu"
             _encode_group(
                 blocks[codable], norm_tables, log2_arr, k,
                 shared_table, sections, modes, codable,

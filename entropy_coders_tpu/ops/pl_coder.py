@@ -50,11 +50,22 @@ __all__ = [
     "lane_merge",
 ]
 
-# Rounds per grid step. The register-window bit I/O guarantees one refill /
-# flush per epoch covers E*L bits, which requires E*L <= 32; E=2 holds for
+# Rounds per grid step. The register-window bit I/O guarantees one window
+# slide per epoch covers E*L bits, which requires E*L <= 32; E=2 holds for
 # every legal table log (L <= 15) and measured fastest (larger unrolls blow
 # up Mosaic compile time).
 E = 2
+
+# Octo-chunk refill: the 64-bit decode window refills from an 8-register
+# chunk holding 8 consecutive rows [b, b+8) of each lane's word column
+# (register j holds the row congruent to j mod 8, so selection is by
+# wb & 7). The chunk is re-fetched from the (W,S,128) stream array only
+# every P_REFILL grid steps, and the fetch costs exactly ONE pass over the
+# array regardless of per-lane bases: with words viewed as (W/8, 8, S,
+# 128), the row with residue j is found by one masked reduction over the
+# j-slice. Sizing: slides between refetches <= ceil(P*E*L/32) must fit the
+# 6 rows below the window; P=8, E=2, L<=12 -> 6 <= 6.
+P_REFILL = 8
 
 _CP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
 
@@ -108,6 +119,33 @@ def _fetch_row(words, wa):
     return jnp.sum(jnp.where(rows == wa[None], words, 0), axis=0)
 
 
+def _fetch_chunk(words8, b, S):
+    """Fetch the 8 consecutive rows [b, b+8) of each lane's word column in
+    ONE pass over the stream array. ``words8`` is the (W/8, 8, S, 128)
+    view; ``b`` is the per-lane base row. Returns ch, a list of 8 (S,128)
+    arrays where ch[j] holds the row congruent to j mod 8 (i.e. row
+    b + ((j - b) & 7)); negative rows read as zero."""
+    W8 = words8.shape[0]
+    qrows = lax.broadcasted_iota(jnp.int32, (W8, S, 128), 0)
+    ch = []
+    for j in range(8):
+        rj = b + ((j - b) & 7)
+        qj = rj >> 3  # arithmetic: negative rows -> -1, never matches
+        ch.append(jnp.sum(
+            jnp.where(qrows == qj[None], words8[:, j], 0), axis=0))
+    return ch
+
+
+def _chunk_select(ch, row):
+    """Select the register holding ``row`` (must lie in the chunk's [b,
+    b+8) range) — register index is row & 7."""
+    d = row & 7
+    acc = ch[0]
+    for j in range(1, 8):
+        acc = jnp.where(d == j, ch[j], acc)
+    return acc
+
+
 def _extract(a, b, off, nb):
     """Bits [off, off+nb) of the little-endian 64-bit pair (b:a), a = low
     word; off in [0,32), nb in [0,16]. (b<<1)<<(31-off) == b<<(32-off) but
@@ -133,35 +171,48 @@ def _read_window(blo, bhi, off, nb):
 
 def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
                    finals_ref, err_ref,
-                   state_s, cur_s, wb_s, blo_s, bhi_s,
-                   *, S, W, L, R, G, hi_n):
+                   state_s, cur_s, wb_s, blo_s, bhi_s, ch_s,
+                   *, S, W, L, R, G, hi_n, p_refill=P_REFILL):
     r = pl.program_id(1)
-    words = words_ref[0]
+    words8 = words_ref[0].reshape(W // 8, 8, S, 128)
     tbl = tbl_ref[0]
 
     @pl.when(r == 0)
-    def _init():
+    def _init_cursors():
         c = sizes_ref[0] - L
-        wb = _shr_u(jnp.maximum(c, 0), 5)
-        blo = _fetch_row(words, wb)
-        bhi = _fetch_row(words, wb + 1)
+        cur_s[:] = c
+        wb_s[:] = _shr_u(jnp.maximum(c, 0), 5)
+
+    @pl.when(r % p_refill == 0)
+    def _refetch():
+        # re-center the chunk on the current window: rows [wb-6, wb+2)
+        ch = _fetch_chunk(words8, wb_s[:] - 6, S)
+        for j in range(8):
+            ch_s[j] = ch[j]
+
+    @pl.when(r == 0)
+    def _init_window():
+        c, wb = cur_s[:], wb_s[:]
+        ch = [ch_s[j] for j in range(8)]
+        blo = _chunk_select(ch, wb)
+        bhi = _chunk_select(ch, wb + 1)
         state_s[:] = _read_window(blo, bhi, c - wb * 32,
                                   jnp.full((S, 128), L, jnp.int32))
-        cur_s[:] = c
-        wb_s[:] = wb
         blo_s[:] = blo
         bhi_s[:] = bhi
 
     states, c = state_s[:], cur_s[:]
     wb, blo, bhi = wb_s[:], blo_s[:], bhi_s[:]
+    ch = [ch_s[j] for j in range(8)]
 
-    # one conditional window slide per epoch keeps >= 2L >= E*L bits readable
-    refill = (c - wb * 32) < 2 * L
+    # one conditional window slide per epoch keeps >= 2L >= E*L bits
+    # readable; the new row comes from the chunk registers, not memory
+    slide = (c - wb * 32) < 2 * L
     wb2 = wb - 1
-    nv = _fetch_row(words, wb2)
-    bhi = jnp.where(refill, blo, bhi)
-    blo = jnp.where(refill, nv, blo)
-    wb = jnp.where(refill, wb2, wb)
+    nv = _chunk_select(ch, wb2)
+    bhi = jnp.where(slide, blo, bhi)
+    blo = jnp.where(slide, nv, blo)
+    wb = jnp.where(slide, wb2, wb)
 
     for e in range(E):
         pk = _gather_rows(tbl, states, hi_n, S)
@@ -185,13 +236,16 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
         err_ref[0, 0, 0] = jnp.sum(jnp.abs(c))
 
 
-@functools.partial(jax.jit, static_argnames=("S", "W", "L", "R", "interpret"))
-def _decode_call(words, sizes, tbl, *, S, W, L, R, interpret=False):
+@functools.partial(jax.jit, static_argnames=("S", "W", "L", "R", "interpret",
+                                              "p_refill"))
+def _decode_call(words, sizes, tbl, *, S, W, L, R, interpret=False,
+                 p_refill=P_REFILL):
     B = words.shape[0]
+    assert W % 8 == 0, "W must be a multiple of 8 (octo-chunk layout)"
     G = _cdiv(R, E)
     hi_n = max((1 << L) // 128, 1)
     kern = functools.partial(_decode_kernel, S=S, W=W, L=L, R=R, G=G,
-                             hi_n=hi_n)
+                             hi_n=hi_n, p_refill=p_refill)
     scr = pltpu.VMEM((S, 128), jnp.int32)
     syms, finals, err = pl.pallas_call(
         kern,
@@ -217,7 +271,8 @@ def _decode_call(words, sizes, tbl, *, S, W, L, R, interpret=False):
             jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, 1, 1), jnp.int32),
         ],
-        scratch_shapes=[scr, scr, scr, scr, scr],
+        scratch_shapes=[scr, scr, scr, scr, scr,
+                        pltpu.VMEM((8, S, 128), jnp.int32)],
         compiler_params=_CP,
         interpret=interpret,
     )(words, sizes, tbl)
@@ -236,6 +291,11 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False):
     on a corrupt stream (any lane cursor not exactly drained)."""
     B, W, kk = words.shape
     assert kk == k and k % 128 == 0, (kk, k)
+    if W % 8:  # octo-chunk layout needs 8-row-aligned word arrays
+        pad = 8 - W % 8
+        words = np.concatenate(
+            [words, np.zeros((B, pad, k), words.dtype)], axis=1)
+        W += pad
     S = k // 128
     interpret = interpret or jax.default_backend() != "tpu"
     tbl = np.stack([_table_rows(packed_tables[b]) for b in range(B)])
