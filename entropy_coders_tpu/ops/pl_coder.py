@@ -320,21 +320,38 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False):
 
 def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
                    words_ref, sizes_ref,
-                   words_s, state_s, cur_s, wb_s, blo_s, bhi_s,
+                   state_s, cur_s, wb_s, blo_s, bhi_s, base_s, ch_s,
                    *, S, W, L, R, G, hi_n):
     r = pl.program_id(1)
     symt = symt_ref[0]  # (4,128): [tb_hi0, tb_hi1, fs_hi0+2^15, fs_hi1+2^15]
     stt = stt_ref[0]    # (hi_n,128) next-state table
-    rows = lax.broadcasted_iota(jnp.int32, (W, S, 128), 0)
 
     def _sym_transform(sym):
         tb = _gather_rows(symt[0:2], sym, 2, S)
         fs = _gather_rows(symt[2:4], sym, 2, S) - (1 << 15)
         return tb, fs
 
+    def _dump(words8, b, upto):
+        """Add chunk registers holding rows [b, upto) into the output
+        array (one pass: residue-j rows ride the j-slice), returning the
+        cleared registers. Bit ranges are disjoint, so add is exact."""
+        W8 = W // 8
+        qrows = lax.broadcasted_iota(jnp.int32, (W8, S, 128), 0)
+        out, ch2 = [], []
+        for j in range(8):
+            rj = b + ((j - b) & 7)
+            valid = rj < upto
+            qj = jnp.where(valid, rj >> 3, -1)
+            out.append(words8[:, j]
+                       + jnp.where(qrows == qj[None], ch_s[j][None], 0))
+            ch2.append(jnp.where(valid, 0, ch_s[j]))
+        return jnp.stack(out, axis=1), ch2
+
     @pl.when(r == 0)
     def _init():
-        words_s[:] = jnp.zeros((W, S, 128), jnp.int32)
+        words_ref[0] = jnp.zeros((W, S, 128), jnp.int32)
+        for j in range(8):
+            ch_s[j] = jnp.zeros((S, 128), jnp.int32)
         # new_first_symbol (reference: src/fse.rs:210-218)
         sym = init_ref[0].astype(jnp.int32)
         tb, fs = _sym_transform(sym)
@@ -342,20 +359,33 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         value0 = lax.shift_left(bits_out0, 16) - tb
         state_s[:] = _gather_rows(stt, _shr_u(value0, bits_out0) + fs,
                                   hi_n, S)
-        cur_s[:] = jnp.zeros((S, 128), jnp.int32)
-        wb_s[:] = jnp.zeros((S, 128), jnp.int32)
-        blo_s[:] = jnp.zeros((S, 128), jnp.int32)
-        bhi_s[:] = jnp.zeros((S, 128), jnp.int32)
+        z = jnp.zeros((S, 128), jnp.int32)
+        cur_s[:] = z
+        wb_s[:] = z
+        blo_s[:] = z
+        bhi_s[:] = z
+        base_s[:] = z
+
+    @pl.when(jnp.logical_and(r % P_REFILL == 0, r != 0))
+    def _period_dump():
+        wb = wb_s[:]
+        w2, ch2 = _dump(words_ref[0].reshape(W // 8, 8, S, 128),
+                        base_s[:], wb)
+        words_ref[0] = w2.reshape(W, S, 128)
+        for j in range(8):
+            ch_s[j] = ch2[j]
+        base_s[:] = wb
 
     states, c = state_s[:], cur_s[:]
     wb, blo, bhi = wb_s[:], blo_s[:], bhi_s[:]
-    words = words_s[:]
+    ch = [ch_s[j] for j in range(8)]
 
-    # one conditional window flush per epoch (bit ranges disjoint -> add
-    # into the zero-initialized array is exact)
+    # one conditional window flush per epoch: the completed word moves to
+    # its chunk register (row wb has residue wb & 7), not to memory
     flush = (c - wb * 32) >= 32
-    wsel = jnp.where(flush, wb, -1)
-    words = words + jnp.where(rows == wsel[None], blo[None], 0)
+    d = wb & 7
+    for j in range(8):
+        ch[j] = jnp.where(jnp.logical_and(flush, d == j), blo, ch[j])
     blo = jnp.where(flush, bhi, blo)
     bhi = jnp.where(flush, 0, bhi)
     wb = jnp.where(flush, wb + 1, wb)
@@ -382,31 +412,46 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         blo, bhi = _put(blo, bhi, c - wb * 32, val)
         c = c + bits_out
 
+    state_s[:], cur_s[:] = states, c
+    wb_s[:], blo_s[:], bhi_s[:] = wb, blo, bhi
+    for j in range(8):
+        ch_s[j] = ch[j]
+
     @pl.when(r == G - 1)
     def _fin():
         # finish: final state's low L bits (reference: src/fse.rs:248-250),
         # after one more conditional flush so the window can take L bits
         fl = (c - wb * 32) >= 32
-        wsel2 = jnp.where(fl, wb, -1)
-        w2 = words + jnp.where(rows == wsel2[None], blo[None], 0)
+        d2 = wb & 7
+        for j in range(8):
+            ch_s[j] = jnp.where(jnp.logical_and(fl, d2 == j), blo, ch_s[j])
         blo2 = jnp.where(fl, bhi, blo)
         bhi2 = jnp.where(fl, 0, bhi)
         wb2 = jnp.where(fl, wb + 1, wb)
         blo3, bhi3 = _put(blo2, bhi2, c - wb2 * 32, states & ((1 << L) - 1))
-        w2 = w2 + jnp.where(rows == wb2[None], blo3[None], 0)
-        w2 = w2 + jnp.where(rows == (wb2[None] + 1), bhi3[None], 0)
-        words_ref[0] = w2
+        # dump completed rows [base, wb2) first (frees their registers),
+        # then park the window words and dump [wb2, wb2+2) — two passes,
+        # final step only, and collision-free for every L <= 12
+        w2, ch2 = _dump(words_ref[0].reshape(W // 8, 8, S, 128),
+                        base_s[:], wb2)
+        for j in range(8):
+            ch_s[j] = ch2[j]
+        d3 = wb2 & 7
+        d4 = (wb2 + 1) & 7
+        for j in range(8):
+            ch_s[j] = jnp.where(d3 == j, ch_s[j] | blo3, ch_s[j])
+            ch_s[j] = jnp.where(d4 == j, ch_s[j] | bhi3, ch_s[j])
+        w3, _ = _dump(w2, wb2, wb2 + 2)
+        words_ref[0] = w3.reshape(W, S, 128)
         sizes_ref[0] = c + L
-
-    state_s[:], cur_s[:] = states, c
-    wb_s[:], blo_s[:], bhi_s[:] = wb, blo, bhi
-    words_s[:] = words
 
 
 @functools.partial(jax.jit, static_argnames=("S", "W", "L", "R", "interpret"))
 def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
                  interpret=False):
     B = syms_rev.shape[0]
+    assert W % 8 == 0, "W must be a multiple of 8 (octo-chunk layout)"
+    assert L <= 12, "encode chunk sizing requires table_log <= 12"
     G = _cdiv(R, E)
     hi_n = max((1 << L) // 128, 1)
     pad_r = G * E - R
@@ -441,8 +486,8 @@ def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
             jax.ShapeDtypeStruct((B, W, S, 128), jnp.int32),
             jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((W, S, 128), jnp.int32),
-                        scr, scr, scr, scr, scr],
+        scratch_shapes=[scr, scr, scr, scr, scr, scr,
+                        pltpu.VMEM((8, S, 128), jnp.int32)],
         compiler_params=_CP,
         interpret=interpret,
     )(syms_rev, init_syms, symt, stt)
@@ -486,8 +531,9 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False):
 
 def encode_w_bound(R: int, L: int) -> int:
     """Worst-case word rows per lane: R rounds of <= L bits each plus the
-    final L-bit state (new_first_symbol emits no bits), plus 2 guard rows."""
-    return _cdiv(R * L + L, 32) + 2
+    final L-bit state (new_first_symbol emits no bits), plus 2 guard rows,
+    rounded up to the 8-row octo-chunk layout."""
+    return _cdiv(_cdiv(R * L + L, 32) + 2, 8) * 8
 
 
 # ---------------------------------------------------------------------------
