@@ -135,7 +135,7 @@ def compress(
     TABLE_LOG_DEFAULT otherwise. ``interpret`` runs the Pallas kernels in
     interpreter mode (for CPU testing)."""
     if lanes is None:
-        lanes = jax.default_backend() == "tpu" and sharding is None
+        lanes = jax.default_backend() == "tpu"
     if table_log is None:
         table_log = PL_TABLE_LOG if lanes else TABLE_LOG_DEFAULT
     data = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) else np.asarray(data, np.uint8)
@@ -232,21 +232,31 @@ def _frame_header(total_len, k, block_size, n_blocks, shared) -> bytes:
 
 
 def _encode_group_pl(blocks, norm_tables, l2, k, shared_table,
-                     sections, modes, block_ids, interpret=False):
+                     sections, modes, block_ids, interpret=False,
+                     sharding=None):
     """Per-lane-stream (MODE_FSE_PL) batched encode of equal-size blocks
-    sharing one table log2, on the Pallas TPU kernels (ops.pl_coder)."""
+    sharing one table log2, on the Pallas TPU kernels (ops.pl_coder).
+    With ``sharding`` the block batch shards over the mesh (padded by
+    replicating the first block; pad results are discarded)."""
     B, n = blocks.shape
+    mesh = sharding.mesh if sharding is not None else None
+    if mesh is not None and B % mesh.size:
+        pad = mesh.size - B % mesh.size
+        blocks = np.concatenate([blocks, blocks[:1].repeat(pad, 0)])
+        norm_tables = np.concatenate(
+            [norm_tables, norm_tables[:1].repeat(pad, 0)])
+    Bp = blocks.shape[0]
     R = n // k - 1
-    syms = blocks[:, : R * k].reshape(B, R, k)
+    syms = blocks[:, : R * k].reshape(Bp, R, k)
     init_syms = np.ascontiguousarray(blocks[:, R * k:])
     encs = []
-    for r in range(B):
+    for r in range(Bp):
         hist = NormHistogram(norm_tables[r], int(l2), _tl(norm_tables[r]))
         et = EncodeTable(hist)
         encs.append((et.table, et.tt_bits, et.tt_find_state))
     W = PL.encode_w_bound(R, int(l2))
     words, sizes = PL.encode_lanes(syms, init_syms, encs, k=k, L=int(l2),
-                                   W=W, interpret=interpret)
+                                   W=W, interpret=interpret, mesh=mesh)
     for j, r in enumerate(range(B)):
         payload = PL.lane_merge(words[j], sizes[j])
         sec = sizes[j].astype("<u2").tobytes() + payload
@@ -274,10 +284,10 @@ def _encode_group(blocks, norm_tables, log2_arr, k, shared_table,
 
     for l2 in np.unique(log2_arr):
         rows = np.flatnonzero(log2_arr == l2)
-        if lanes and sharding is None and _pl_eligible(n, k, int(l2)):
+        if lanes and _pl_eligible(n, k, int(l2)):
             _encode_group_pl(blocks[rows], norm_tables[rows], int(l2), k,
                              shared_table, sections, modes, block_ids[rows],
-                             interpret=interpret)
+                             interpret=interpret, sharding=sharding)
             continue
         nrows = len(rows)
         pad_rows = 0
@@ -420,17 +430,24 @@ def decompress(frame: bytes, *, sharding=None, interpret: bool = False) -> bytes
     for (rl, log2), items in groups.items():
         _decode_group(items, rl, log2, pf, out, raw_lens, sharding=sharding)
     for (rl, log2), items in pl_groups.items():
-        _decode_group_pl(items, rl, log2, pf, out, interpret=interpret)
+        _decode_group_pl(items, rl, log2, pf, out, interpret=interpret,
+                         sharding=sharding)
     return out.tobytes()
 
 
-def _decode_group_pl(items, raw_len, log2, pf, out, interpret=False):
+def _decode_group_pl(items, raw_len, log2, pf, out, interpret=False,
+                     sharding=None):
     """Batched decode of MODE_FSE_PL blocks (per-lane streams) sharing one
-    (raw_len, log2), on the Pallas TPU kernels."""
+    (raw_len, log2), on the Pallas TPU kernels. With ``sharding`` the
+    batch shards over the mesh (padded with copies of the first block)."""
     k = pf.k
     if raw_len % k != 0 or raw_len // k < 2:
         raise ValueError("corrupt frame: FSE_PL block not lane-divisible")
     R = raw_len // k - 1
+    mesh = sharding.mesh if sharding is not None else None
+    n_items = len(items)
+    if mesh is not None and len(items) % mesh.size:
+        items = items + items[:1] * (mesh.size - len(items) % mesh.size)
     B = len(items)
     sizes = np.zeros((B, k), np.int32)
     words_list = []
@@ -452,8 +469,8 @@ def _decode_group_pl(items, raw_len, log2, pf, out, interpret=False):
     for j, w in enumerate(words_list):
         words[j, : w.shape[0]] = w
     syms, finals = PL.decode_lanes(words, sizes, packed, k=k, L=log2, R=R,
-                                   interpret=interpret)
-    for j, (i, _, _) in enumerate(items):
+                                   interpret=interpret, mesh=mesh)
+    for j, (i, _, _) in enumerate(items[:n_items]):
         o = i * pf.block_size
         out[o : o + R * k] = syms[j].reshape(-1)
         out[o + R * k : o + raw_len] = finals[j]

@@ -279,7 +279,19 @@ def _decode_call(words, sizes, tbl, *, S, W, L, R, interpret=False,
     return syms, finals, err
 
 
-def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False):
+def _shard_over_blocks(fn, mesh, n_in):
+    """Wrap ``fn`` in a shard_map that partitions every input and output
+    over the mesh's first axis (data parallel over blocks: each device
+    runs the pallas kernel on its block shard; no collectives)."""
+    from jax.sharding import PartitionSpec
+
+    spec = PartitionSpec(mesh.axis_names[0])
+    return jax.shard_map(fn, mesh=mesh, in_specs=(spec,) * n_in,
+                         out_specs=(spec, spec, spec), check_vma=False)
+
+
+def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
+                 mesh=None):
     """Decode B blocks of k per-lane streams.
 
     words: (B, W, k) uint32 — per-lane stream words; words[b, w, i] is word
@@ -287,6 +299,8 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False):
     sizes: (B, k) int32 — per-lane total bit counts.
     packed_tables: (B, 2^L) uint32 decode tables (sym<<24|nb<<16|base,
       ops.tables / spec.fse layout).
+    mesh: optional jax.sharding.Mesh — blocks are sharded over its first
+      axis and decoded data-parallel (B must be a multiple of mesh.size).
     Returns (syms (B, R, k) uint8, finals (B, k) uint8); raises ValueError
     on a corrupt stream (any lane cursor not exactly drained)."""
     B, W, kk = words.shape
@@ -299,12 +313,16 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False):
     S = k // 128
     interpret = interpret or jax.default_backend() != "tpu"
     tbl = np.stack([_table_rows(packed_tables[b]) for b in range(B)])
-    syms, finals, err = _decode_call(
+    call = functools.partial(_decode_call, S=S, W=W, L=L, R=R,
+                             interpret=interpret)
+    if mesh is not None:
+        assert B % mesh.size == 0, (B, mesh.size)
+        call = _shard_over_blocks(call, mesh, 3)
+    syms, finals, err = call(
         jnp.asarray(np.ascontiguousarray(words).view(np.int32)
                     .reshape(B, W, S, 128)),
         jnp.asarray(np.asarray(sizes, np.int32).reshape(B, S, 128)),
         jnp.asarray(tbl),
-        S=S, W=W, L=L, R=R, interpret=interpret,
     )
     if int(jnp.sum(err)) != 0:
         raise ValueError("corrupt stream: lane cursor not drained")
@@ -494,7 +512,8 @@ def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
     return words, sizes
 
 
-def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False):
+def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
+                 mesh=None):
     """Encode B blocks of k per-lane streams.
 
     syms: (B, R, k) uint8 — round-major lane symbols (round r, lane i = byte
@@ -505,7 +524,9 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False):
       tt_bits < 2^24, |tt_fs| < 2^15, table values < 2^16).
     W: word rows to allocate (>= worst-case lane bits/32 + 2 guard rows;
       see encode_w_bound).
-    Returns (words (B, W, k) uint32, sizes (B, k) int32 bit counts)."""
+    mesh: optional jax.sharding.Mesh — blocks shard over its first axis
+      and encode data-parallel (B must be a multiple of mesh.size).
+    Returns (words (B, W_act, k) uint32, sizes (B, k) int32 bit counts)."""
     B, R, kk = syms.shape
     assert kk == k and k % 128 == 0
     S = k // 128
@@ -518,14 +539,27 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False):
         stt.append(_table_rows(t))
     syms_rev = np.ascontiguousarray(
         np.asarray(syms, np.uint8)[:, ::-1]).reshape(B, R, S, 128)
-    words, sizes = _encode_call(
+    call = functools.partial(_encode_call, S=S, W=W, L=L, R=R,
+                             interpret=interpret)
+    if mesh is not None:
+        assert B % mesh.size == 0, (B, mesh.size)
+        from jax.sharding import PartitionSpec
+
+        spec = PartitionSpec(mesh.axis_names[0])
+        call = jax.shard_map(call, mesh=mesh, in_specs=(spec,) * 4,
+                             out_specs=(spec, spec), check_vma=False)
+    words, sizes = call(
         jnp.asarray(syms_rev),
         jnp.asarray(np.asarray(init_syms, np.uint8).reshape(B, S, 128)),
         jnp.asarray(np.stack(symt)), jnp.asarray(np.stack(stt)),
-        S=S, W=W, L=L, R=R, interpret=interpret,
     )
-    words = np.ascontiguousarray(np.asarray(words)).view(np.uint32).reshape(B, W, k)
+    # pull the (small) sizes first, then transfer only the word rows that
+    # are actually populated — W is the worst-case bound, typically ~2x
+    # the real maximum, and device->host bandwidth is precious
     sizes = np.asarray(sizes).reshape(B, k)
+    w_act = min(int((int(sizes.max()) + 31) // 32) + 1, W)
+    words = np.ascontiguousarray(np.asarray(words[:, :w_act]))
+    words = words.view(np.uint32).reshape(B, w_act, k)
     return words, sizes
 
 

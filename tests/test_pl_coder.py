@@ -146,3 +146,24 @@ def test_frame_pl_shared_table_roundtrip():
                       shared_table=True, interpret=True)
     out = F.decompress(comp, interpret=True)
     assert out == data.tobytes()
+
+
+def test_frame_pl_sharded_roundtrip():
+    """Flagship PL mode data-parallel over an 8-device mesh (shard_map +
+    interpreter-mode Pallas kernels)."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+    from entropy_coders_tpu import frame as F
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("blocks",))
+    sh = NamedSharding(mesh, PartitionSpec("blocks"))
+    rng = np.random.default_rng(9)
+    data = geo(rng, 10 * 4096)  # 10 blocks over 8 devices (pads to 16)
+    comp = F.compress(data, block_size=4096, k=256, lanes=True,
+                      interpret=True, sharding=sh)
+    pf = F._parse_frame(comp)
+    assert (pf.modes == F.MODE_FSE_PL).all()
+    out = F.decompress(comp, interpret=True, sharding=sh)
+    assert out == data.tobytes()
