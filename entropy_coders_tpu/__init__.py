@@ -15,7 +15,10 @@ zstd's encoding scheme), re-designed TPU-first:
 
 from .constants import TABLE_LOG_DEFAULT, TABLE_LOG_MAX, TABLE_LOG_MIN
 from .spec import Histogram, NormHistogram
-from .spec.codec import fse_compress, fse_decompress
+from .spec.codec import (fse_compress, fse_compress2, fse_decompress,
+                         fse_decompress2)
+from .spec.fse import DecodeTable, Decoder, EncodeTable, Encoder
+from .spec.histogram import HeaderIo, HistError, TableLogTooLarge, TooManySymbols
 
 __version__ = "0.1.0"
 
@@ -25,7 +28,17 @@ __all__ = [
     "TABLE_LOG_MIN",
     "Histogram",
     "NormHistogram",
+    "EncodeTable",
+    "Encoder",
+    "DecodeTable",
+    "Decoder",
+    "HistError",
+    "TableLogTooLarge",
+    "TooManySymbols",
+    "HeaderIo",
     "fse_compress",
+    "fse_compress2",
     "fse_decompress",
+    "fse_decompress2",
     "__version__",
 ]

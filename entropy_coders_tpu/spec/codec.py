@@ -107,3 +107,18 @@ def fse_decompress(src, dst: bytearray, k: int = 1) -> int | None:
         dst.append(sym)
         i += 1
     return len(dst) - start
+
+
+def fse_compress2(src, dst: bytearray,
+                  hist: "NormHistogram | None" = None):
+    """Two-stream compression, byte-identical to the reference's
+    ``fse_compress2`` (reference: src/lib.rs:146-183). Returns the
+    payload bit count (the reference returns only ``usize``)."""
+    _, bits = fse_compress(src, dst, k=2, hist=hist)
+    return bits
+
+
+def fse_decompress2(src, dst: bytearray) -> int | None:
+    """Two-stream decompression, the reference's ``fse_decompress2``
+    (reference: src/lib.rs:215-248)."""
+    return fse_decompress(src, dst, k=2)

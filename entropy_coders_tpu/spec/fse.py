@@ -119,6 +119,11 @@ class EncodeTable:
                 self.tt_find_state[s] = total - x
                 total += x
 
+    def update(self, hist: NormHistogram) -> None:
+        """Rebuild this table for a new histogram (the reference reuses
+        the allocation, reference: src/fse.rs:101-189; here a re-init)."""
+        self.__init__(hist)
+
     @staticmethod
     def compress_bound(size: int) -> int:
         """Worst-case compressed size (reference: src/fse.rs:191-193)."""
@@ -152,6 +157,11 @@ class Encoder:
         writer.write_bits(self.value, bits_out)
         idx = (self.value >> bits_out) + int(self.table.tt_find_state[sym])
         self.value = int(self.table.table[idx])
+
+    def encode_raw(self, writer: BitStackWriter, sym: int) -> None:
+        """The reference's unchecked-flush variant (src/fse.rs:227-239);
+        the Python writer flushes internally, so this equals encode."""
+        self.encode(writer, sym)
 
     def finish(self, writer: BitStackWriter) -> None:
         """Append the final state in ``table_log`` bits
@@ -210,6 +220,11 @@ class DecodeTable:
         )
 
 
+    def update(self, hist: NormHistogram) -> None:
+        """Rebuild for a new histogram (reference: src/fse.rs:280)."""
+        self.__init__(hist)
+
+
 def _ilog2_arr(x: np.ndarray) -> np.ndarray:
     """Elementwise floor(log2(x)) for int64 arrays with values in
     [1, 2**16], exactly (integer bit tests, no float rounding)."""
@@ -237,6 +252,12 @@ class Decoder:
         sym = int(self.table.symbol[self.state])
         self.state = int(self.table.new_state[self.state]) + low_bits
         return sym
+
+    def decode_symbol_no_reload(self, reader: BitStackReader) -> int | None:
+        """The reference's no-reload variant (src/fse.rs:363-373); the
+        Python reader has no reload distinction, so this equals
+        decode_symbol."""
+        return self.decode_symbol(reader)
 
     def finish(self) -> int:
         """Final symbol held in the terminal state

@@ -42,6 +42,19 @@ class HistError(ValueError):
     """Malformed histogram header (reference: src/histogram.rs:538-546)."""
 
 
+class TableLogTooLarge(HistError):
+    """``HistError::TableLogTooLarge`` (reference: src/histogram.rs:540)."""
+
+
+class TooManySymbols(HistError):
+    """``HistError::TooManySymbols`` (reference: src/histogram.rs:542)."""
+
+
+class HeaderIo(HistError):
+    """``HistError::Io`` — the header bit reader ran out of input
+    (reference: src/histogram.rs:544-545)."""
+
+
 def _table_len_of(table) -> int:
     """1 + index of the last nonzero entry; 1 if all zero
     (reference: src/histogram.rs:52-59)."""
@@ -70,6 +83,19 @@ class Histogram:
         self.size = int(self.table.sum()) if size is None else size
         self.table_len = _table_len_of(self.table)
         return self
+
+    def table_iter(self):
+        """Iterate the counts up to ``table_len``
+        (reference: src/histogram.rs:37-43)."""
+        return iter(self.table[: self.table_len])
+
+    def symbol_count(self) -> int:
+        """Number of distinct symbols present. NOTE: the reference's
+        ``symbol_count`` counts symbols with count == 0 despite its doc
+        (an apparent bug, never called in the crate —
+        reference: src/histogram.rs:79-81); this returns the documented
+        semantics instead."""
+        return int(np.count_nonzero(self.table))
 
     def optimal_log2(self) -> int:
         """Best table log2 for this distribution
@@ -231,6 +257,17 @@ class NormHistogram:
             raise ValueError("table does not sum to a power of two")
         return cls(table, ilog2(s), _table_len_of(table))
 
+    def table_iter(self):
+        """Iterate the normalized counts up to ``table_len``
+        (reference: src/histogram.rs:311-317)."""
+        return iter(self.table[: self.table_len])
+
+    def symbol_count(self) -> int:
+        """Distinct symbols present (documented semantics; the
+        reference's copy has the same ==0 bug as Histogram's —
+        reference: src/histogram.rs:321-323)."""
+        return int(np.count_nonzero(self.table))
+
     def log2_sum(self) -> int:
         return self.log2
 
@@ -288,11 +325,13 @@ class NormHistogram:
     def read(cls, data: bytes) -> tuple["NormHistogram", bytes]:
         """Parse a header written by :meth:`write`; returns the histogram and
         the remaining byte-aligned slice (reference: src/histogram.rs:436-505)."""
+        if len(data) == 0:
+            raise HeaderIo("empty histogram header")
         reader = BitStreamReader(data, len(data) * 8)
         try:
             log2 = reader.read(4) + TABLE_LOG_MIN
             if log2 > TABLE_LOG_MAX:
-                raise HistError(f"table log2 {log2} above maximum")
+                raise TableLogTooLarge(f"table log2 {log2} above maximum")
             table = np.zeros(ALPHABET, dtype=np.int32)
             symbol = 0
             threshold = 1 << log2
@@ -334,10 +373,11 @@ class NormHistogram:
                     read_bit_count -= 1
                     threshold >>= 1
         except EOFError as e:
-            raise HistError("truncated histogram header") from e
+            raise HeaderIo("truncated histogram header") from e
 
         if remaining != 1:
-            raise HistError("histogram counts spread across more than 256 symbols")
+            raise TooManySymbols(
+                    "histogram counts spread across more than 256 symbols")
 
         return cls(table, log2, symbol), reader.finish_byte()
 
