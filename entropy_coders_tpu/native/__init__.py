@@ -54,6 +54,16 @@ def _load():
         lib.ect_normalize.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.ect_lane_split.restype = ctypes.c_int64
+        lib.ect_lane_split.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ]
+        lib.ect_lane_merge.restype = ctypes.c_int64
+        lib.ect_lane_merge.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception as e:  # toolchain missing etc. — soft-fail
         _load_error = str(e)
@@ -137,3 +147,36 @@ def normalize(counts, size: int, log2: int = -1) -> tuple[np.ndarray, int]:
     if l2 < 0:
         raise ValueError("normalization failed (degenerate input)")
     return table, int(l2)
+
+
+def lane_split(payload: bytes, sizes_bits: np.ndarray, k: int, W: int) -> np.ndarray:
+    """Split concatenated byte-aligned lane streams into the padded (W, k)
+    uint32 kernel layout (cache-blocked C++ transpose)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    sizes = np.ascontiguousarray(sizes_bits, np.int32)
+    assert sizes.shape == (k,)
+    out = np.zeros((W, k), np.uint32)
+    n = lib.ect_lane_split(payload, len(payload),
+                           sizes.ctypes.data_as(ctypes.c_void_p), k, W,
+                           out.ctypes.data_as(ctypes.c_void_p))
+    if n < 0:
+        raise ValueError("lane payload too short")
+    return out
+
+
+def lane_merge(words: np.ndarray, sizes_bits: np.ndarray) -> bytes:
+    """Inverse of lane_split: compact (W, k) uint32 into the wire payload."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    words = np.ascontiguousarray(words, np.uint32)
+    W, k = words.shape
+    sizes = np.ascontiguousarray(sizes_bits, np.int32)
+    total = int(((sizes.astype(np.int64) + 7) // 8).sum())
+    out = ctypes.create_string_buffer(total)
+    n = lib.ect_lane_merge(words.ctypes.data_as(ctypes.c_void_p), W, k,
+                           sizes.ctypes.data_as(ctypes.c_void_p), out)
+    assert n == total
+    return out.raw

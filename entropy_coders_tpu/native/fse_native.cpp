@@ -608,4 +608,58 @@ int ect_normalize(const uint32_t* counts, uint64_t size, int32_t log2,
   return h.log2;
 }
 
+// --- per-lane stream repack (MODE_FSE_PL wire <-> kernel layout) ---------
+//
+// Wire: k byte-aligned lane streams concatenated in lane order, lane i
+// occupying ceil(sizes_bits[i]/8) bytes. Kernel layout: (W, k) u32,
+// words[w*k + i] = word w of lane i. The repack is a lane-major copy then
+// a cache-blocked u32 transpose (two linear passes, no per-byte strided
+// traffic).
+
+static void transpose_u32(const uint32_t* src, uint32_t* dst,
+                          size_t rows, size_t cols) {
+  // src (rows, cols) -> dst (cols, rows)
+  constexpr size_t BR = 64, BC = 16;
+  for (size_t r0 = 0; r0 < rows; r0 += BR)
+    for (size_t c0 = 0; c0 < cols; c0 += BC) {
+      size_t r1 = r0 + BR < rows ? r0 + BR : rows;
+      size_t c1 = c0 + BC < cols ? c0 + BC : cols;
+      for (size_t r = r0; r < r1; r++)
+        for (size_t c = c0; c < c1; c++)
+          dst[c * rows + r] = src[r * cols + c];
+    }
+}
+
+// Split the wire payload into the padded (W, k) u32 array. Returns bytes
+// consumed, or -1 if the payload is too short.
+int64_t ect_lane_split(const uint8_t* payload, size_t plen,
+                       const int32_t* sizes_bits, int32_t k, int32_t W,
+                       uint32_t* out) {
+  std::vector<uint32_t> tmp((size_t)k * W, 0);
+  size_t off = 0;
+  for (int32_t i = 0; i < k; i++) {
+    size_t nbytes = ((size_t)sizes_bits[i] + 7) / 8;
+    if (off + nbytes > plen || nbytes > (size_t)W * 4) return -1;
+    std::memcpy(&tmp[(size_t)i * W], payload + off, nbytes);
+    off += nbytes;
+  }
+  transpose_u32(tmp.data(), out, k, W);
+  return (int64_t)off;
+}
+
+// Compact the padded (W, k) u32 array back into the wire payload (whose
+// capacity must be >= sum ceil(sizes/8)). Returns bytes written.
+int64_t ect_lane_merge(const uint32_t* words, int32_t W, int32_t k,
+                       const int32_t* sizes_bits, uint8_t* out) {
+  std::vector<uint32_t> tmp((size_t)k * W);
+  transpose_u32(words, tmp.data(), W, k);
+  size_t off = 0;
+  for (int32_t i = 0; i < k; i++) {
+    size_t nbytes = ((size_t)sizes_bits[i] + 7) / 8;
+    std::memcpy(out + off, &tmp[(size_t)i * W], nbytes);
+    off += nbytes;
+  }
+  return (int64_t)off;
+}
+
 }  // extern "C"

@@ -578,15 +578,19 @@ def encode_w_bound(R: int, L: int) -> int:
 def lane_split(payload: bytes, sizes_bits: np.ndarray, k: int):
     """Split a wire payload of byte-aligned concatenated lane streams into
     the padded (W, k) uint32 array the decode kernel wants. Returns
-    (words (W, k) uint32, W)."""
+    (words (W, k) uint32, W). Uses the C++ native repack when available
+    (cache-blocked transpose), else vectorized numpy."""
     sizes_bits = np.asarray(sizes_bits, np.int64)
     assert sizes_bits.shape == (k,)
     nbytes = (sizes_bits + 7) // 8
-    offs = np.concatenate([[0], np.cumsum(nbytes)])
     W = int((int(sizes_bits.max()) + 31) // 32) + 2
-    buf = np.frombuffer(payload, np.uint8)
-    if offs[-1] > len(buf):
+    if int(nbytes.sum()) > len(payload):
         raise ValueError("lane payload too short")
+    from .. import native
+    if native.available():
+        return native.lane_split(bytes(payload), sizes_bits, k, W), W
+    offs = np.concatenate([[0], np.cumsum(nbytes)])
+    buf = np.frombuffer(payload, np.uint8)
     lane_bytes = np.zeros((k, W * 4), np.uint8)
     idx = offs[:-1, None] + np.arange(W * 4)[None, :]
     mask = np.arange(W * 4)[None, :] < nbytes[:, None]
@@ -600,6 +604,9 @@ def lane_merge(words: np.ndarray, sizes_bits: np.ndarray) -> bytes:
     concatenated lane streams."""
     W, k = words.shape
     sizes_bits = np.asarray(sizes_bits, np.int64)
+    from .. import native
+    if native.available():
+        return native.lane_merge(words, sizes_bits)
     nbytes = (sizes_bits + 7) // 8
     lane_bytes = np.ascontiguousarray(words.T).view(np.uint8).reshape(k, W * 4)
     mask = np.arange(W * 4)[None, :] < nbytes[:, None]
