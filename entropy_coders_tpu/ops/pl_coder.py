@@ -50,11 +50,21 @@ __all__ = [
     "lane_merge",
 ]
 
-# Rounds per grid step. The register-window bit I/O guarantees one window
-# slide per epoch covers E*L bits, which requires E*L <= 32; E=2 holds for
-# every legal table log (L <= 15) and measured fastest (larger unrolls blow
-# up Mosaic compile time).
+# Default rounds per grid step. The register-window bit I/O guarantees one
+# window slide per epoch covers E*L bits, requiring E*L <= 32: E=3 for
+# L <= 10 (the flagship default), E=2 up to L=15. Larger unrolls blow up
+# Mosaic compile time without helping steady state.
 E = 2
+
+
+def _pick_e(L: int) -> int:
+    return 3 if 3 * L <= 32 else 2
+
+
+def _pick_p(e: int, L: int) -> int:
+    # chunk sizing: slides/flushes between refetches, ceil(P*E*L/32), must
+    # fit the 6 spare chunk rows -> P*E*L <= 192
+    return max(1, min(P_REFILL, 192 // (e * L)))
 
 # Octo-chunk refill: the 64-bit decode window refills from an 8-register
 # chunk holding 8 consecutive rows [b, b+8) of each lane's word column
@@ -172,7 +182,7 @@ def _read_window(blo, bhi, off, nb):
 def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
                    finals_ref, err_ref,
                    state_s, cur_s, wb_s, blo_s, bhi_s, ch_s,
-                   *, S, W, L, R, G, hi_n, p_refill=P_REFILL):
+                   *, S, W, L, R, G, hi_n, E, p_refill):
     r = pl.program_id(1)
     words8 = words_ref[0].reshape(W // 8, 8, S, 128)
     tbl = tbl_ref[0]
@@ -205,9 +215,9 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
     wb, blo, bhi = wb_s[:], blo_s[:], bhi_s[:]
     ch = [ch_s[j] for j in range(8)]
 
-    # one conditional window slide per epoch keeps >= 2L >= E*L bits
-    # readable; the new row comes from the chunk registers, not memory
-    slide = (c - wb * 32) < 2 * L
+    # one conditional window slide per epoch keeps >= E*L bits readable;
+    # the new row comes from the chunk registers, not memory
+    slide = (c - wb * 32) < E * L
     wb2 = wb - 1
     nv = _chunk_select(ch, wb2)
     bhi = jnp.where(slide, blo, bhi)
@@ -237,15 +247,18 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("S", "W", "L", "R", "interpret",
-                                              "p_refill"))
+                                              "p_refill", "e_rounds"))
 def _decode_call(words, sizes, tbl, *, S, W, L, R, interpret=False,
-                 p_refill=P_REFILL):
+                 p_refill=None, e_rounds=None):
     B = words.shape[0]
     assert W % 8 == 0, "W must be a multiple of 8 (octo-chunk layout)"
+    E = e_rounds or _pick_e(L)
+    if p_refill is None:
+        p_refill = _pick_p(E, L)
     G = _cdiv(R, E)
     hi_n = max((1 << L) // 128, 1)
     kern = functools.partial(_decode_kernel, S=S, W=W, L=L, R=R, G=G,
-                             hi_n=hi_n, p_refill=p_refill)
+                             hi_n=hi_n, E=E, p_refill=p_refill)
     scr = pltpu.VMEM((S, 128), jnp.int32)
     syms, finals, err = pl.pallas_call(
         kern,
@@ -339,7 +352,7 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
 def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
                    words_ref, sizes_ref,
                    state_s, cur_s, wb_s, blo_s, bhi_s, base_s, ch_s,
-                   *, S, W, L, R, G, hi_n):
+                   *, S, W, L, R, G, hi_n, E, p_refill):
     r = pl.program_id(1)
     symt = symt_ref[0]  # (4,128): [tb_hi0, tb_hi1, fs_hi0+2^15, fs_hi1+2^15]
     stt = stt_ref[0]    # (hi_n,128) next-state table
@@ -384,7 +397,7 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         bhi_s[:] = z
         base_s[:] = z
 
-    @pl.when(jnp.logical_and(r % P_REFILL == 0, r != 0))
+    @pl.when(jnp.logical_and(r % p_refill == 0, r != 0))
     def _period_dump():
         wb = wb_s[:]
         w2, ch2 = _dump(words_ref[0].reshape(W // 8, 8, S, 128),
@@ -464,12 +477,15 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         sizes_ref[0] = c + L
 
 
-@functools.partial(jax.jit, static_argnames=("S", "W", "L", "R", "interpret"))
+@functools.partial(jax.jit, static_argnames=("S", "W", "L", "R", "interpret",
+                                              "e_rounds"))
 def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
-                 interpret=False):
+                 interpret=False, e_rounds=None):
     B = syms_rev.shape[0]
     assert W % 8 == 0, "W must be a multiple of 8 (octo-chunk layout)"
     assert L <= 12, "encode chunk sizing requires table_log <= 12"
+    E = e_rounds or _pick_e(L)
+    p_refill = _pick_p(E, L)
     G = _cdiv(R, E)
     hi_n = max((1 << L) // 128, 1)
     pad_r = G * E - R
@@ -477,7 +493,7 @@ def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
         syms_rev = jnp.concatenate(
             [syms_rev, jnp.zeros((B, pad_r, S, 128), jnp.uint8)], axis=1)
     kern = functools.partial(_encode_kernel, S=S, W=W, L=L, R=R, G=G,
-                             hi_n=hi_n)
+                             hi_n=hi_n, E=E, p_refill=p_refill)
     scr = pltpu.VMEM((S, 128), jnp.int32)
     words, sizes = pl.pallas_call(
         kern,
