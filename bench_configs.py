@@ -1,0 +1,250 @@
+"""The five BASELINE.json benchmark configs, with local stand-in corpora.
+
+enwik8/enwik9/Silesia cannot be fetched in this sandbox (no egress); the
+stand-ins are deterministic local corpora with comparable structure:
+
+* "ascii"  — real repo text (SURVEY/README/PARITY/FORMAT) cycled;
+* "mixed"  — text + seeded random bytes + runs (config 2's recipe);
+* "corpus" — a large mixed-entropy text-heavy corpus built from all repo
+  text plus seeded Zipf-ish noise (the enwik stand-in).
+
+Each config prints one JSON line; run on the real chip for device
+numbers. Configs 4 and 5 need 8 chips / multiple hosts — this sandbox
+exposes one chip, so they run the same sharded code path on the
+available mesh (1 real chip, or 8 virtual CPU devices for correctness)
+and report per-chip numbers with a note.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+
+
+def _repo_text() -> bytes:
+    root = os.path.dirname(os.path.abspath(__file__))
+    buf = b""
+    for f in sorted(os.listdir(root)):
+        if f.endswith((".md", ".py")):
+            buf += open(os.path.join(root, f), "rb").read()
+    return buf
+
+
+def ascii_block(n: int) -> bytes:
+    t = _repo_text()
+    return (t * (n // len(t) + 1))[:n]
+
+
+def mixed_buffer(n: int, seed=1) -> bytes:
+    """Config 2's recipe: text + random + runs."""
+    rng = np.random.default_rng(seed)
+    parts, m = [], 0
+    while m < n:
+        kind = rng.integers(0, 3)
+        ln = int(rng.integers(4 << 10, 64 << 10))
+        if kind == 0:
+            parts.append(ascii_block(ln))
+        elif kind == 1:
+            parts.append(rng.integers(0, 256, ln, dtype=np.uint8).tobytes())
+        else:
+            parts.append(bytes([int(rng.integers(0, 256))]) * ln)
+        m += ln
+    return b"".join(parts)[:n]
+
+
+def corpus(n: int, seed=2) -> bytes:
+    """enwik stand-in: text-heavy with seeded noise mixed in."""
+    rng = np.random.default_rng(seed)
+    text = np.frombuffer(ascii_block(n), np.uint8).copy()
+    # sprinkle Zipf-ish byte noise over 10% of positions so blocks differ
+    idx = rng.integers(0, n, n // 10)
+    text[idx] = (rng.zipf(1.4, n // 10) % 256).astype(np.uint8)
+    return text.tobytes()
+
+
+def _sync(r):
+    import jax
+    np.asarray(jax.tree.leaves(r)[0].ravel()[0:1])
+
+
+def _device_decode_gbps(comp: bytes, block_size: int, k: int) -> float:
+    """Marginal device decode throughput for a PL frame."""
+    import jax
+    import jax.numpy as jnp
+
+    from entropy_coders_tpu import frame as F
+    from entropy_coders_tpu.ops import pl_coder as PL
+    from entropy_coders_tpu.spec.fse import DecodeTable
+    from entropy_coders_tpu.spec.histogram import NormHistogram
+
+    pf = F._parse_frame(comp)
+    R = block_size // k - 1
+    idx = [j for j in range(pf.n_blocks) if pf.modes[j] == F.MODE_FSE_PL]
+    B = len(idx)
+    shared_norm = NormHistogram.read(pf.shared_hdr)[0] if pf.shared else None
+    sizes = np.zeros((B, k), np.int32)
+    words_list, tbls, L = [], [], None
+    for jj, j in enumerate(idx):
+        if pf.shared:
+            norm, sec = shared_norm, pf.sections[j]
+        else:
+            norm, sec = NormHistogram.read(pf.sections[j])
+        if L is None:
+            L = norm.log2
+        if norm.log2 != L:
+            continue
+        sizes[jj] = np.frombuffer(sec[: 2 * k], "<u2")
+        w, _ = PL.lane_split(sec[2 * k:], sizes[jj], k)
+        words_list.append(w)
+        tbls.append(PL._table_rows(DecodeTable(norm).packed))
+    B = len(words_list)
+    W = -(-max(w.shape[0] for w in words_list) // 16) * 16
+    words = np.zeros((B, W, k), np.uint32)
+    for jj, w in enumerate(words_list):
+        words[jj, : w.shape[0]] = w
+    S = k // 128
+    aw = jnp.asarray(np.ascontiguousarray(words).view(np.int32)
+                     .reshape(B, W, S, 128))
+    asz = jnp.asarray(sizes[:B].reshape(B, S, 128))
+    atb = jnp.asarray(np.stack(tbls))
+    call = lambda: PL._decode_call(aw, asz, atb, S=S, W=W, L=L, R=R)
+    r = call()
+    assert int(np.asarray(r[2]).sum()) == 0
+    _sync(r)
+    t0 = time.perf_counter(); _sync(call()); t1 = time.perf_counter() - t0
+    nn = 6
+    t0 = time.perf_counter()
+    rs = [call() for _ in range(nn)]
+    _sync(rs[-1])
+    tn = time.perf_counter() - t0
+    m = max((tn - t1) / (nn - 1), 1e-9)
+    return B * block_size / m / 1e9
+
+
+def config1():
+    """64 KiB ASCII, single stream, 12-bit table (the reference's own
+    shape); serial spec codec for exactness + native C++ for speed."""
+    import entropy_coders_tpu as ect
+    from entropy_coders_tpu import native
+
+    data = ascii_block(64 << 10)
+    frame = bytearray()
+    hist, bits = ect.fse_compress(data, frame, k=1,
+                                  hist=ect.Histogram(data).normalize(12))
+    out = bytearray()
+    assert ect.fse_decompress(frame, out, k=1) == len(data)
+    assert bytes(out) == data
+    res = {"config": 1, "workload": "64KiB ascii, k=1, L=12",
+           "ratio": round(len(frame) / len(data), 4), "roundtrip": "exact"}
+    if native.available():
+        nf = native.compress(data, k=1)
+        t0 = time.perf_counter()
+        for _ in range(20):
+            native.decompress(nf, k=1, max_out=len(data) + 16)
+        res["host_decode_MBps"] = round(len(data) * 20 /
+                                        (time.perf_counter() - t0) / 1e6)
+    return res
+
+
+def config2():
+    """1 MiB mixed-entropy, 4 interleaved streams; k=2 is the reference's
+    own frame format, k=4 the documented generalization (the reference
+    defines no 4-stream format). Bulk round trips run on the C++ native
+    codec; the Python spec cross-checks it byte-for-byte on a slice."""
+    import entropy_coders_tpu as ect
+    from entropy_coders_tpu import native
+
+    data = mixed_buffer(1 << 20)
+    nf2 = native.compress(data, k=2)
+    nf4 = native.compress(data, k=4)
+    assert native.decompress(nf2, k=2, max_out=len(data) + 16) == data
+    assert native.decompress(nf4, k=4, max_out=len(data) + 16) == data
+    # spec (exact reference semantics) == native, byte-for-byte, on a slice
+    sl = data[: 48 << 10]
+    for k in (2, 4):
+        f = bytearray()
+        ect.fse_compress(sl, f, k=k)
+        assert bytes(f) == native.compress(sl, k=k), f"k={k} frame mismatch"
+    return {"config": 2, "workload": "1MiB mixed, k=4 (+k=2 ref-identical)",
+            "ratio_k2": round(len(nf2) / len(data), 4),
+            "ratio_k4": round(len(nf4) / len(data), 4),
+            "bit_exact": "k<=2 reference format; spec==native byte-for-byte"}
+
+
+def config3(on_tpu: bool):
+    """enwik8 stand-in: 32 MiB corpus, 128 KiB blocks, per-block tables,
+    1024+ lanes per block, 1 chip."""
+    from entropy_coders_tpu import frame as F
+
+    data = corpus(32 << 20)
+    bs, k = 128 << 10, 1024
+    t0 = time.perf_counter()
+    comp = F.compress(data, block_size=bs, k=k, lanes=on_tpu,
+                      interpret=not on_tpu)
+    t_c = time.perf_counter() - t0
+    out = F.decompress(comp, interpret=not on_tpu)
+    assert out == data
+    res = {"config": 3, "workload": "32MiB text corpus, 128KiB blocks, k=1024",
+           "ratio": round(len(comp) / len(data), 4),
+           "compress_s_e2e": round(t_c, 2)}
+    if on_tpu:
+        res["device_decode_GBps"] = round(_device_decode_gbps(comp, bs, k), 2)
+    return res
+
+
+def config4(on_tpu: bool):
+    """enwik9-on-8-chips stand-in: shared-table broadcast + ordered
+    gather on the available mesh (this sandbox: 1 real chip; the same
+    code path runs the 8-virtual-device CPU mesh in the test suite)."""
+    import jax
+    from entropy_coders_tpu import frame as F
+    from entropy_coders_tpu import parallel
+
+    data = corpus(64 << 20)
+    bs, k = 4 << 20, 8192
+    mesh = parallel.default_mesh()
+    sh = parallel.block_sharding(mesh)
+    comp = F.compress(data, block_size=bs, k=k, shared_table=True,
+                      lanes=on_tpu, interpret=not on_tpu, sharding=sh)
+    out = F.decompress(comp, sharding=sh, interpret=not on_tpu)
+    assert out == data
+    res = {"config": 4,
+           "workload": "64MiB corpus, shared table, mesh-sharded blocks",
+           "n_devices": mesh.size,
+           "ratio": round(len(comp) / len(data), 4)}
+    if on_tpu:
+        res["device_decode_GBps"] = round(_device_decode_gbps(comp, bs, k), 2)
+        res["note"] = "1 chip in this sandbox; scaling validated on 8 virtual devices in tests"
+    return res
+
+
+def config5():
+    """Multi-host pipeline: not runnable here (single host, single chip).
+    The multi-host design (jax.distributed + the same shard_map path over
+    a multi-host mesh) is exercised structurally by the virtual-device
+    tests; recorded as not-runnable."""
+    return {"config": 5, "workload": "Silesia+enwik9, multi-host v5e-16",
+            "status": "environment lacks multi-host pod; shard_map path "
+                      "validated on virtual mesh (tests, dryrun)"}
+
+
+def main():
+    import jax
+    on_tpu = jax.default_backend() == "tpu"
+    which = [int(x) for x in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    for i in which:
+        fn = {1: config1, 2: config2, 3: lambda: config3(on_tpu),
+              4: lambda: config4(on_tpu), 5: config5}[i]
+        t0 = time.perf_counter()
+        res = fn()
+        res["wall_s"] = round(time.perf_counter() - t0, 1)
+        print(json.dumps(res), flush=True)
+
+
+if __name__ == "__main__":
+    main()

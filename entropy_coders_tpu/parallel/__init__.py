@@ -1,11 +1,13 @@
 """Multi-chip / multi-host parallelism (jax.sharding over device meshes)."""
 
-from .sharding import block_sharding, compress, decompress, default_mesh, sharded_histogram
+from .sharding import (block_sharding, compress, decompress, default_mesh,
+                       init_distributed, sharded_histogram)
 
 __all__ = [
     "block_sharding",
     "compress",
     "decompress",
     "default_mesh",
+    "init_distributed",
     "sharded_histogram",
 ]

@@ -1,0 +1,110 @@
+"""Robustness: malformed/corrupted container frames must raise ValueError
+(or subclasses) — never crash, hang, or silently return wrong lengths.
+
+The reference's stance (SURVEY.md §5): total error handling via
+Option/HistError; no checksums, so *undetectable* corruption decoding to
+garbage of the right length is in-contract there. The container adds
+structure (magic, lengths, lane sizes) that must be validated."""
+
+import numpy as np
+import pytest
+
+from entropy_coders_tpu import frame as F
+from entropy_coders_tpu.spec.histogram import HistError
+from tests.conftest import gen_sequence
+
+
+def _frame(lanes: bool):
+    data = gen_sequence(0.2, 3 * 4096 + 123)
+    comp = F.compress(data, block_size=4096, k=128, lanes=lanes,
+                      interpret=True)
+    return data, comp
+
+
+@pytest.fixture(scope="module")
+def pl_frame():
+    return _frame(True)
+
+
+@pytest.fixture(scope="module")
+def xla_frame():
+    return _frame(False)
+
+
+def test_bad_magic(pl_frame):
+    _, comp = pl_frame
+    bad = b"XXXX" + comp[4:]
+    with pytest.raises(ValueError):
+        F.decompress(bad, interpret=True)
+
+
+def test_bad_version(pl_frame):
+    _, comp = pl_frame
+    bad = bytearray(comp)
+    bad[4] = 99
+    with pytest.raises(ValueError):
+        F.decompress(bytes(bad), interpret=True)
+
+
+def test_truncated_frame(pl_frame):
+    import struct
+
+    _, comp = pl_frame
+    for cut in (10, len(comp) // 2, len(comp) - 3):
+        with pytest.raises((ValueError, HistError, IndexError, struct.error)):
+            F.decompress(comp[:cut], interpret=True)
+
+
+@pytest.mark.parametrize("which", ["pl", "xla"])
+def test_random_corruption_never_crashes(which, pl_frame, xla_frame):
+    """Flip random bytes across the frame; every outcome must be either a
+    clean error or a decode (possibly wrong bytes — no checksum, matching
+    the reference's contract). Nothing may crash the process."""
+    data, comp = pl_frame if which == "pl" else xla_frame
+    rng = np.random.default_rng(0)
+    for t in range(12):
+        bad = bytearray(comp)
+        pos = int(rng.integers(4, len(bad)))
+        bad[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = F.decompress(bytes(bad), interpret=True)
+            assert isinstance(out, bytes)
+        except (ValueError, HistError, KeyError, IndexError, AssertionError):
+            pass
+        except Exception as e:  # struct.error etc.
+            import struct
+            assert isinstance(e, struct.error), type(e)
+
+
+def test_lane_sizes_tampered(pl_frame):
+    """Inflated lane bit sizes must be caught (payload too short or
+    cursor drain failure), not read out of bounds."""
+    data, comp = pl_frame
+    pf = F._parse_frame(comp)
+    from entropy_coders_tpu.spec.histogram import NormHistogram
+    # find the first PL block's section offset inside the frame
+    assert int(pf.modes[0]) == F.MODE_FSE_PL
+    sec = pf.sections[0]
+    _, rest = NormHistogram.read(sec)
+    hdr_len = len(sec) - len(rest)
+    off = comp.find(sec) + hdr_len  # lane size table offset
+    bad = bytearray(comp)
+    bad[off:off + 2] = (0xFFFF).to_bytes(2, "little")  # lane0: 65535 bits
+    with pytest.raises(ValueError):
+        F.decompress(bytes(bad), interpret=True)
+
+
+def test_zero_and_tiny_inputs():
+    assert F.decompress(F.compress(b"", lanes=False)) == b""
+    for n in (1, 2, 3, 7, 15, 16, 17):
+        d = bytes(range(n))
+        assert F.decompress(F.compress(d, block_size=16, k=2, lanes=False)) == d
+
+
+def test_rle_and_raw_blocks():
+    d = b"\x00" * 5000 + bytes(np.random.default_rng(0)
+                               .integers(0, 256, 5000, dtype=np.uint8))
+    comp = F.compress(d, block_size=4096, k=2, lanes=False)
+    pf = F._parse_frame(comp)
+    assert F.MODE_RLE in pf.modes  # the all-zero block
+    assert F.decompress(comp) == d
