@@ -97,7 +97,7 @@ def main():
     a_words = jnp.asarray(
         np.ascontiguousarray(words).view(np.int32).reshape(B, W, S, 128))
     a_sizes = jnp.asarray(sizes.reshape(B, S, 128))
-    a_tbl = jnp.asarray(np.stack(tbls))
+    a_tbl = jnp.asarray(np.stack(tbls)[:, :, None, :])  # shared-row tables
 
     call = lambda: PL._decode_call(a_words, a_sizes, a_tbl, S=S, W=W,
                                    L=L, R=R, interpret=not on_tpu)

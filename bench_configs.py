@@ -104,14 +104,18 @@ def _device_decode_gbps(comp: bytes, block_size: int, k: int) -> float:
         tbls.append(PL._table_rows(DecodeTable(norm).packed))
     B = len(words_list)
     W = -(-max(w.shape[0] for w in words_list) // 16) * 16
+    # fuse small-k blocks into superblocks exactly as decode_lanes does
+    Ff = max(1, min(B, PL.FUSE_LANES // k))
+    B = B - B % Ff  # drop the ragged remainder for the throughput number
     words = np.zeros((B, W, k), np.uint32)
-    for jj, w in enumerate(words_list):
-        words[jj, : w.shape[0]] = w
-    S = k // 128
-    aw = jnp.asarray(np.ascontiguousarray(words).view(np.int32)
-                     .reshape(B, W, S, 128))
-    asz = jnp.asarray(sizes[:B].reshape(B, S, 128))
-    atb = jnp.asarray(np.stack(tbls))
+    for jj in range(B):
+        words[jj, : words_list[jj].shape[0]] = words_list[jj]
+    Bf, kf, S = B // Ff, Ff * k, Ff * k // 128
+    wordsf = np.ascontiguousarray(
+        words.reshape(Bf, Ff, W, k).transpose(0, 2, 1, 3))
+    aw = jnp.asarray(wordsf.view(np.int32).reshape(Bf, W, S, 128))
+    asz = jnp.asarray(sizes[:B].reshape(Bf, S, 128))
+    atb = jnp.asarray(PL._expand_tbl(tbls[:B], k // 128, Ff))
     call = lambda: PL._decode_call(aw, asz, atb, S=S, W=W, L=L, R=R)
     r = call()
     assert int(np.asarray(r[2]).sum()) == 0

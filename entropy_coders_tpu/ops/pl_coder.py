@@ -108,15 +108,22 @@ def _table_rows(values: np.ndarray) -> np.ndarray:
 
 
 def _gather_rows(tbl, idx, hi_n, S):
-    """Gather tbl[idx] where tbl is (hi_n, 128) int32 rows of a 2^L-entry
-    table and idx is (S, 128) int32 in [0, hi_n*128): HI lane gathers, one
-    per row, selected by the high bits. Mosaic lowers take_along_axis to
-    its native per-sublane dynamic gather."""
+    """Gather tbl[idx] where tbl is (hi_n, St, 128) int32 rows of
+    2^L-entry tables (St = S, or 1 for a single shared table) and idx is
+    (S, 128) int32 in [0, hi_n*128): HI lane gathers, one per row,
+    selected by the high bits. Mosaic lowers take_along_axis to its
+    native per-sublane dynamic gather — and since the gather is
+    per-sublane-row, each sublane row s can carry a DIFFERENT table
+    (tbl[h, s]): that is how fused superblocks give every 128-lane group
+    its own block's table for free. With St = 1 the row broadcast keeps
+    the table register-resident (measurably faster when unfused)."""
     lo = idx & 127
     hi = _shr_u(idx, 7)
     acc = jnp.zeros((S, 128), jnp.int32)
     for h in range(hi_n):
-        row = jnp.broadcast_to(tbl[h:h + 1, :], (S, 128))
+        row = tbl[h]
+        if row.shape[0] != S:
+            row = jnp.broadcast_to(row, (S, 128))
         g = jnp.take_along_axis(row, lo, axis=1)
         acc = jnp.where(hi == h, g, acc) if hi_n > 1 else g
     return acc
@@ -268,7 +275,8 @@ def _decode_call(words, sizes, tbl, *, S, W, L, R, interpret=False,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, 128), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hi_n, 128), lambda b, r: (b, 0, 0),
+            pl.BlockSpec((1, hi_n, tbl.shape[2], 128),
+                         lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -303,6 +311,33 @@ def _shard_over_blocks(fn, mesh, n_in):
                          out_specs=(spec, spec, spec), check_vma=False)
 
 
+FUSE_LANES = 8192  # target lanes per kernel invocation when fusing blocks
+
+
+def _fuse_factor(B: int, k: int, mesh) -> int:
+    """How many blocks to fuse into one superblock call: small-k blocks
+    pack side-by-side up to FUSE_LANES lanes — per-sublane tables make
+    this free (see _gather_rows). Disabled under a mesh (the block axis
+    must stay divisible by the mesh; sharded callers use large k)."""
+    if mesh is not None:
+        return 1
+    return max(1, min(B, FUSE_LANES // k))
+
+
+def _expand_tbl(rows_list, S_each, F):
+    """Per-block (hi_n, 128) table rows -> per-superblock (hi_n, F*S_each,
+    128): sublane s of the fused call uses block s // S_each's table.
+    For F == 1 the table stays a single (hi_n, 1, 128) row set, which the
+    kernel broadcasts (register-resident, faster)."""
+    Bp = len(rows_list)
+    hi_n = rows_list[0].shape[0]
+    if F == 1:
+        return np.ascontiguousarray(np.stack(rows_list)[:, :, None, :])
+    t = np.stack(rows_list).reshape(Bp // F, F, hi_n, 128)
+    t = np.repeat(t.transpose(0, 2, 1, 3), S_each, axis=2)
+    return np.ascontiguousarray(t)  # (Bp//F, hi_n, F*S_each, 128)
+
+
 def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
                  mesh=None):
     """Decode B blocks of k per-lane streams.
@@ -314,6 +349,8 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
       ops.tables / spec.fse layout).
     mesh: optional jax.sharding.Mesh — blocks are sharded over its first
       axis and decoded data-parallel (B must be a multiple of mesh.size).
+    Small-k blocks are fused into ~FUSE_LANES-lane superblocks (the
+    per-sublane table gather gives every block its own table for free).
     Returns (syms (B, R, k) uint8, finals (B, k) uint8); raises ValueError
     on a corrupt stream (any lane cursor not exactly drained)."""
     B, W, kk = words.shape
@@ -323,24 +360,39 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
         words = np.concatenate(
             [words, np.zeros((B, pad, k), words.dtype)], axis=1)
         W += pad
-    S = k // 128
     interpret = interpret or jax.default_backend() != "tpu"
-    tbl = np.stack([_table_rows(packed_tables[b]) for b in range(B)])
+
+    F = _fuse_factor(B, k, mesh)
+    rows_list = [_table_rows(packed_tables[b]) for b in range(B)]
+    if B % F:  # pad with copies of block 0 (results discarded)
+        pad = F - B % F
+        words = np.concatenate([words, words[:1].repeat(pad, 0)])
+        sizes = np.concatenate([np.asarray(sizes), sizes[:1].repeat(pad, 0)])
+        rows_list += [rows_list[0]] * pad
+    Bp = words.shape[0]
+    Bf, kf, S = Bp // F, F * k, F * k // 128
+    # lanes of block g*F+f occupy [f*k, (f+1)*k) of superblock g
+    wordsf = np.ascontiguousarray(
+        words.reshape(Bf, F, W, k).transpose(0, 2, 1, 3))
+    sizesf = np.asarray(sizes, np.int32).reshape(Bf, kf)
+    tbl = _expand_tbl(rows_list, k // 128, F)
+
     call = functools.partial(_decode_call, S=S, W=W, L=L, R=R,
                              interpret=interpret)
     if mesh is not None:
-        assert B % mesh.size == 0, (B, mesh.size)
+        assert Bf % mesh.size == 0, (Bf, mesh.size)
         call = _shard_over_blocks(call, mesh, 3)
     syms, finals, err = call(
-        jnp.asarray(np.ascontiguousarray(words).view(np.int32)
-                    .reshape(B, W, S, 128)),
-        jnp.asarray(np.asarray(sizes, np.int32).reshape(B, S, 128)),
+        jnp.asarray(wordsf.view(np.int32).reshape(Bf, W, S, 128)),
+        jnp.asarray(sizesf.reshape(Bf, S, 128)),
         jnp.asarray(tbl),
     )
     if int(jnp.sum(err)) != 0:
         raise ValueError("corrupt stream: lane cursor not drained")
-    syms = np.asarray(syms).reshape(B, -1, k)[:, :R]
-    finals = np.asarray(finals).astype(np.uint8).reshape(B, k)
+    syms = (np.asarray(syms).reshape(Bf, -1, F, k)[:, :R]
+            .transpose(0, 2, 1, 3).reshape(Bp, R, k)[:B])
+    finals = (np.asarray(finals).astype(np.uint8)
+              .reshape(Bp, k)[:B])
     return syms, finals
 
 
@@ -505,9 +557,11 @@ def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, 128), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, 128), lambda b, r: (b, 0, 0),
+            pl.BlockSpec((1, 4, symt.shape[2], 128),
+                         lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hi_n, 128), lambda b, r: (b, 0, 0),
+            pl.BlockSpec((1, hi_n, stt.shape[2], 128),
+                         lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -545,20 +599,36 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
     Returns (words (B, W_act, k) uint32, sizes (B, k) int32 bit counts)."""
     B, R, kk = syms.shape
     assert kk == k and k % 128 == 0
-    S = k // 128
     interpret = interpret or jax.default_backend() != "tpu"
+
+    F = _fuse_factor(B, k, mesh)
     symt, stt = [], []
     for (t, tb, fs) in enc_tables:
         tbr = _table_rows(tb)                      # (2,128)
         fsr = _table_rows(np.asarray(fs, np.int64) + (1 << 15))
         symt.append(np.concatenate([tbr, fsr]))    # (4,128)
         stt.append(_table_rows(t))
+    syms = np.asarray(syms, np.uint8)
+    init_syms = np.asarray(init_syms, np.uint8)
+    if B % F:  # pad with copies of block 0 (results discarded)
+        pad = F - B % F
+        syms = np.concatenate([syms, syms[:1].repeat(pad, 0)])
+        init_syms = np.concatenate([init_syms, init_syms[:1].repeat(pad, 0)])
+        symt += [symt[0]] * pad
+        stt += [stt[0]] * pad
+    Bp = syms.shape[0]
+    Bf, kf, S = Bp // F, F * k, F * k // 128
     syms_rev = np.ascontiguousarray(
-        np.asarray(syms, np.uint8)[:, ::-1]).reshape(B, R, S, 128)
+        syms[:, ::-1].reshape(Bf, F, R, k).transpose(0, 2, 1, 3)
+    ).reshape(Bf, R, S, 128)
+    initf = np.ascontiguousarray(init_syms.reshape(Bf, kf))
+    symtf = _expand_tbl(symt, k // 128, F)
+    sttf = _expand_tbl(stt, k // 128, F)
+
     call = functools.partial(_encode_call, S=S, W=W, L=L, R=R,
                              interpret=interpret)
     if mesh is not None:
-        assert B % mesh.size == 0, (B, mesh.size)
+        assert Bf % mesh.size == 0, (Bf, mesh.size)
         from jax.sharding import PartitionSpec
 
         spec = PartitionSpec(mesh.axis_names[0])
@@ -566,16 +636,18 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
                              out_specs=(spec, spec), check_vma=False)
     words, sizes = call(
         jnp.asarray(syms_rev),
-        jnp.asarray(np.asarray(init_syms, np.uint8).reshape(B, S, 128)),
-        jnp.asarray(np.stack(symt)), jnp.asarray(np.stack(stt)),
+        jnp.asarray(initf.reshape(Bf, S, 128)),
+        jnp.asarray(symtf), jnp.asarray(sttf),
     )
     # pull the (small) sizes first, then transfer only the word rows that
     # are actually populated — W is the worst-case bound, typically ~2x
     # the real maximum, and device->host bandwidth is precious
-    sizes = np.asarray(sizes).reshape(B, k)
+    sizes = np.asarray(sizes).reshape(Bp, k)[:B]
     w_act = min(int((int(sizes.max()) + 31) // 32) + 1, W)
     words = np.ascontiguousarray(np.asarray(words[:, :w_act]))
-    words = words.view(np.uint32).reshape(B, w_act, k)
+    words = (words.view(np.uint32).reshape(Bf, w_act, F, k)
+             .transpose(0, 2, 1, 3).reshape(Bp, w_act, k)[:B])
+    words = np.ascontiguousarray(words)
     return words, sizes
 
 
