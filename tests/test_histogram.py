@@ -117,3 +117,32 @@ def test_read_rejects_garbage():
 
     with pytest.raises((HistError, ValueError, EOFError)):
         NormHistogram.read(b"\xff\xff\xff\xff\xff\xff")
+
+
+def test_normalize_slow_path_roundtrip(rng):
+    """Uniform random data over the full alphabet triggers the multi-round
+    slow normalization (reference: src/histogram.rs:144-145,157-261); the
+    resulting table must still round-trip the data exactly."""
+    import entropy_coders_tpu.spec.histogram as H
+
+    calls = {"n": 0}
+    orig = H.Histogram._normalize_slow
+
+    def spy(self, log2):
+        calls["n"] += 1
+        return orig(self, log2)
+
+    H.Histogram._normalize_slow = spy
+    try:
+        src = rng.integers(0, 256, 1 << 12, dtype=np.uint8)
+        h = H.Histogram(src)
+        n = h.normalize(h.optimal_log2())
+    finally:
+        H.Histogram._normalize_slow = orig
+    assert calls["n"] == 1, "distribution did not exercise the slow path"
+    assert sum(1 if c == -1 else int(c) for c in n.table) == 1 << n.log2
+    from entropy_coders_tpu.spec.codec import fse_compress, fse_decompress
+    f, o = bytearray(), bytearray()
+    fse_compress(src, f, k=2, hist=n)
+    assert fse_decompress(f, o, k=2) == len(src)
+    assert bytes(o) == src.tobytes()
