@@ -31,6 +31,7 @@ def main(argv=None) -> int:
     c.add_argument("--table-log", type=int, default=None)
     c.add_argument("--shared-table", action="store_true")
     c.add_argument("--no-lanes", action="store_true")
+    c.add_argument("--checksum", action="store_true")
 
     d = sub.add_parser("decompress")
     d.add_argument("infile")
@@ -56,6 +57,8 @@ def main(argv=None) -> int:
             kw["shared_table"] = True
         if args.no_lanes:
             kw["lanes"] = False
+        if args.checksum:
+            kw["checksum"] = True
         t0 = time.perf_counter()
         comp = F.compress(data, **kw)
         dt = time.perf_counter() - t0

@@ -32,6 +32,7 @@ from .spec.histogram import NormHistogram
 MAGIC = b"FSET"
 VERSION = 1
 FLAG_SHARED = 1
+FLAG_CRC = 2  # per-block crc32 table present (integrity checking)
 
 MODE_FSE = 0
 MODE_RAW = 1
@@ -126,6 +127,7 @@ def compress(
     sharding=None,
     lanes: bool | None = None,
     interpret: bool = False,
+    checksum: bool = False,
 ) -> bytes:
     """Compress ``data`` into a TPU container frame (FORMAT.md).
 
@@ -133,7 +135,9 @@ def compress(
     TPU kernels): None = auto (on TPU backends when eligible), True/False
     to force. ``table_log`` defaults to PL_TABLE_LOG on the lanes path and
     TABLE_LOG_DEFAULT otherwise. ``interpret`` runs the Pallas kernels in
-    interpreter mode (for CPU testing)."""
+    interpreter mode (for CPU testing). ``checksum`` appends a per-block
+    crc32 table, verified on decompress (the reference format has no
+    integrity checking — corruption decodes to garbage silently)."""
     if lanes is None:
         lanes = jax.default_backend() == "tpu"
     if table_log is None:
@@ -143,7 +147,7 @@ def compress(
         raise ValueError("block_size must be >= 16")
     total_len = len(data)
     if total_len == 0:
-        return _frame_header(0, k, block_size, 0, False) + b""
+        return _frame_header(0, k, block_size, 0, False, checksum) + b""
     n_blocks = _cdiv(total_len, block_size)
 
     full = total_len // block_size
@@ -200,11 +204,17 @@ def compress(
             modes[i] = MODE_RLE
             sections[i] = bytes([int(raw[0])])
 
-    out = bytearray(_frame_header(total_len, k, block_size, n_blocks, shared_table))
+    out = bytearray(_frame_header(total_len, k, block_size, n_blocks,
+                                  shared_table, checksum))
     if shared_table:
         out += struct.pack("<H", len(shared_hdr)) + shared_hdr
     for i in range(n_blocks):
         out += struct.pack("<I", (int(modes[i]) << 30) | len(sections[i]))
+    if checksum:
+        import zlib
+        for i in range(n_blocks):
+            raw = data[i * block_size : i * block_size + raw_lens[i]]
+            out += struct.pack("<I", zlib.crc32(raw) & 0xFFFFFFFF)
     for s in sections:
         out += s
     return bytes(out)
@@ -223,10 +233,12 @@ def _tl(table) -> int:
     return int(nz[-1]) + 1 if nz.size else 1
 
 
-def _frame_header(total_len, k, block_size, n_blocks, shared) -> bytes:
+def _frame_header(total_len, k, block_size, n_blocks, shared,
+                  crc=False) -> bytes:
+    flags = (FLAG_SHARED if shared else 0) | (FLAG_CRC if crc else 0)
     return (
         MAGIC
-        + struct.pack("<BBHIQI", VERSION, FLAG_SHARED if shared else 0,
+        + struct.pack("<BBHIQI", VERSION, flags,
                       k, block_size, total_len, n_blocks)
     )
 
@@ -354,6 +366,7 @@ class _ParsedFrame:
     shared_hdr: bytes
     modes: np.ndarray
     sections: list[bytes]
+    crcs: np.ndarray | None = None
 
 
 def _parse_frame(frame: bytes) -> _ParsedFrame:
@@ -376,17 +389,38 @@ def _parse_frame(frame: bytes) -> _ParsedFrame:
     off += 4 * n_blocks
     modes = (entries >> 30).astype(np.int32)
     lens = (entries & ((1 << 30) - 1)).astype(np.int64)
+    crcs = None
+    if flags & FLAG_CRC:
+        crcs = np.frombuffer(frame, np.uint32, count=n_blocks,
+                             offset=off).copy()
+        off += 4 * n_blocks
     sections = []
     for ln in lens:
         sections.append(frame[off : off + int(ln)])
         off += int(ln)
     return _ParsedFrame(k, block_size, total_len, n_blocks, shared,
-                        shared_hdr, modes, sections)
+                        shared_hdr, modes, sections, crcs)
 
 
-def decompress(frame: bytes, *, sharding=None, interpret: bool = False) -> bytes:
-    """Decompress a TPU container frame back to bytes."""
+def decompress(frame: bytes, *, sharding=None, interpret: bool = False,
+               start: int = 0, length: int | None = None) -> bytes:
+    """Decompress a TPU container frame back to bytes.
+
+    ``start``/``length`` decode only the blocks overlapping that byte
+    range (random access — every block is independently decodable) and
+    return exactly that slice. When the frame carries per-block crc32s
+    (``compress(checksum=True)``), each decoded block is verified."""
     pf = _parse_frame(frame)
+    if length is None:
+        length = pf.total_len - start
+    if not (0 <= start <= pf.total_len and 0 <= length <= pf.total_len - start):
+        raise ValueError("range outside frame")
+    if pf.block_size:
+        b_lo = start // pf.block_size
+        b_hi = _cdiv(start + length, pf.block_size) if length else b_lo
+    else:
+        b_lo, b_hi = 0, 0
+    wanted = range(b_lo, min(max(b_hi, b_lo), pf.n_blocks))
     out = np.zeros(pf.total_len, np.uint8)
     raw_lens = [
         min(pf.block_size, pf.total_len - i * pf.block_size)
@@ -402,7 +436,7 @@ def decompress(frame: bytes, *, sharding=None, interpret: bool = False) -> bytes
     # group FSE blocks by (raw_len, log2) for batched decode
     groups: dict[tuple[int, int], list[tuple[int, bytes, np.ndarray]]] = {}
     pl_groups: dict[tuple[int, int], list[tuple[int, bytes, np.ndarray]]] = {}
-    for i in range(pf.n_blocks):
+    for i in wanted:
         mode, sec, rl = int(pf.modes[i]), pf.sections[i], raw_lens[i]
         o = i * pf.block_size
         if mode == MODE_RAW:
@@ -432,7 +466,14 @@ def decompress(frame: bytes, *, sharding=None, interpret: bool = False) -> bytes
     for (rl, log2), items in pl_groups.items():
         _decode_group_pl(items, rl, log2, pf, out, interpret=interpret,
                          sharding=sharding)
-    return out.tobytes()
+    if pf.crcs is not None:
+        import zlib
+        for i in wanted:
+            o = i * pf.block_size
+            got = zlib.crc32(out[o : o + raw_lens[i]]) & 0xFFFFFFFF
+            if got != int(pf.crcs[i]):
+                raise ValueError(f"block {i}: crc mismatch (corrupt frame)")
+    return out[start : start + length].tobytes()
 
 
 def _decode_group_pl(items, raw_len, log2, pf, out, interpret=False,

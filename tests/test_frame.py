@@ -77,3 +77,43 @@ def test_shared_table_is_smaller_for_many_blocks():
     per_block = F.compress(data, block_size=1 << 12, k=32, shared_table=False)
     shared = F.compress(data, block_size=1 << 12, k=32, shared_table=True)
     assert len(shared) < len(per_block)
+
+
+def test_random_access_and_checksum(rng):
+    """Range decode (every block independently decodable) + per-block
+    crc32 verification — container features beyond the reference."""
+    from tests.conftest import gen_sequence
+    import entropy_coders_tpu.frame as F
+
+    data = gen_sequence(0.3, 5 * 4096 + 321, seed=42)
+    comp = F.compress(data, block_size=4096, k=64, lanes=False,
+                      checksum=True)
+    full = F.decompress(comp)
+    assert full == data.tobytes()
+    for (s, ln) in [(0, 100), (4000, 200), (4096, 4096), (9000, 8000),
+                    (len(data) - 10, 10), (0, len(data))]:
+        assert F.decompress(comp, start=s, length=ln) == data[s:s + ln].tobytes()
+    # corrupt one payload byte inside block 2 -> crc catches it
+    pf = F._parse_frame(comp)
+    target = pf.sections[2]
+    pos = comp.rfind(target)
+    bad = bytearray(comp)
+    bad[pos + len(target) // 2] ^= 0x40
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        F.decompress(bytes(bad))
+    # but a range that avoids block 2 still decodes
+    assert F.decompress(bytes(bad), start=0, length=4096) == data[:4096].tobytes()
+
+
+def test_range_outside_frame_raises(rng):
+    from tests.conftest import gen_sequence
+    import entropy_coders_tpu.frame as F
+    import pytest as _pytest
+
+    data = gen_sequence(0.3, 4096, seed=1)
+    comp = F.compress(data, block_size=4096, k=64, lanes=False)
+    with _pytest.raises(ValueError):
+        F.decompress(comp, start=5000, length=10)
+    with _pytest.raises(ValueError):
+        F.decompress(comp, start=0, length=99999)
