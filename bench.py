@@ -56,9 +56,10 @@ def main():
     from entropy_coders_tpu.spec.histogram import NormHistogram
 
     on_tpu = jax.default_backend() == "tpu"
-    size = 32 << 20  # 32 MiB
-    block_size = 4 << 20
-    k = 8192
+    size = 128 << 20  # 128 MiB (32 blocks -> stable marginal timing)
+    block_size = 4 << 20  # sweet spot: W ~ 80 rows (refetch cost scales
+    k = 8192              # with W; bigger blocks inflate W, smaller add
+                          # per-block grid boundaries)
     if not on_tpu:  # CI/smoke fallback: tiny workload, interpreter kernels
         size, block_size, k = 1 << 16, 1 << 14, 256
 
@@ -115,7 +116,7 @@ def main():
     t0 = time.perf_counter()
     sync(call())
     t1 = time.perf_counter() - t0
-    n = 8
+    n = 6
     t0 = time.perf_counter()
     rs = [call() for _ in range(n)]
     sync(rs[-1])
