@@ -15,9 +15,9 @@ lockstep, one symbol per round, fully vectorized. Key mechanics:
   gather each 128-wide hi-row at ``lo`` and select by ``hi``) — the packed
   u32 entries ride the gather whole, no decomposition needed;
 * bit I/O goes through a per-lane 64-bit register window (two i32 regs)
-  over the lane's word column; the window moves one word per epoch at
-  most, so the only memory-indexed operation is ONE masked row-reduction
-  over the (W, S, 128) stream array per E-round epoch;
+  over the lane's word column; the window refills from an 8-register
+  chunk (the octo-chunk below), so the only memory-indexed operation is
+  ONE pass over the (W, S, 128) stream array every P_REFILL grid steps;
 * the kernel is grid-pipelined: grid = (blocks, round-chunks); raw-symbol
   tiles stream HBM<->VMEM via BlockSpec index maps while per-lane states,
   cursors and window registers live in VMEM scratch carried across steps.
@@ -73,8 +73,9 @@ def _pick_p(e: int, L: int) -> int:
 # every P_REFILL grid steps, and the fetch costs exactly ONE pass over the
 # array regardless of per-lane bases: with words viewed as (W/8, 8, S,
 # 128), the row with residue j is found by one masked reduction over the
-# j-slice. Sizing: slides between refetches <= ceil(P*E*L/32) must fit the
-# 6 rows below the window; P=8, E=2, L<=12 -> 6 <= 6.
+# j-slice. Sizing: slides between refetches <= ceil(P*E*L/32) must fit
+# the 6 rows below the window -> P*E*L <= 192 (_pick_p); P_REFILL is the
+# upper bound.
 P_REFILL = 8
 
 _CP = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -127,13 +128,6 @@ def _gather_rows(tbl, idx, hi_n, S):
         g = jnp.take_along_axis(row, lo, axis=1)
         acc = jnp.where(hi == h, g, acc) if hi_n > 1 else g
     return acc
-
-
-def _fetch_row(words, wa):
-    """Per-lane words[wa[s,l], s, l] from the (W,S,128) stream array via a
-    masked row-reduction (no dynamic addressing). One pass over words."""
-    rows = lax.broadcasted_iota(jnp.int32, words.shape, 0)
-    return jnp.sum(jnp.where(rows == wa[None], words, 0), axis=0)
 
 
 def _fetch_chunk(words8, b, S):
