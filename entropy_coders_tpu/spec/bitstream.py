@@ -48,6 +48,26 @@ class BitStackWriter:
         self.acc |= (val & mask(bits)) << self.bits
         self.bits += bits
 
+    def write_bits_unmasked(self, val: int, bits: int) -> None:
+        """The reference's variant whose caller guarantees val < 2^bits
+        (src/bitstream/writer.rs:151-160); Python masks anyway."""
+        self.write_bits(val, bits)
+
+    def write_bits_raw(self, val: int, bits: int) -> None:
+        """The reference's unsafe no-flush-check variant
+        (src/bitstream/writer.rs:162-180); the spec accumulator is an
+        unbounded int, so there is no flush contract to violate."""
+        self.write_bits(val, bits)
+
+    def write_bits_raw_unmasked(self, val: int, bits: int) -> None:
+        """(src/bitstream/writer.rs:140-149)."""
+        self.write_bits(val, bits)
+
+    def flush(self) -> None:
+        """The reference's explicit accumulator flush
+        (src/bitstream/writer.rs:43-110); a no-op here — the unbounded
+        accumulator is materialized once in :meth:`finish`."""
+
     def finish(self) -> int:
         assert not self._finished
         self._finished = True
@@ -99,6 +119,20 @@ class BitStackReader:
         self.bits -= bits
         return val
 
+    def read_no_reload(self, bits: int) -> int | None:
+        """The reference's unsafe no-reload variant
+        (src/bitstream/stack_reader.rs:186-203); the spec buffer holds the
+        whole stack, so there is no reload distinction."""
+        return self.read(bits)
+
+    def advance_no_reload(self, bits: int) -> None:
+        """(src/bitstream/stack_reader.rs:205-215)."""
+        assert bits <= self.bits
+        self.bits -= bits
+
+    def reload(self) -> None:
+        """(src/bitstream/stack_reader.rs:97-172); a no-op here."""
+
     def available(self) -> int:
         return self.bits
 
@@ -146,6 +180,11 @@ class BitStreamReader:
 
     def available(self) -> int:
         return self.total_bits - self.bits_read
+
+    def finish(self) -> bool:
+        """True iff every framed bit was consumed
+        (reference: src/bitstream/stream_reader.rs:124-130)."""
+        return self.bits_read == self.total_bits
 
     def finish_byte(self) -> bytes:
         """Round up to the next byte boundary and return the rest of the

@@ -107,3 +107,30 @@ def test_stack_zero_bit_reads():
     # 0-bit reads succeed on an empty stack (reference peek(0) semantics)
     assert r.read(0) == 0
     assert r.read(1) is None
+
+
+def test_reference_variant_methods():
+    """The reference's unsafe/no-reload/unmasked variants exist and agree
+    with the checked paths (they differ only in unsafe contracts that a
+    Python bigint implementation cannot violate)."""
+    from entropy_coders_tpu.spec.bitstream import BitStackReader, BitStackWriter
+
+    out = bytearray()
+    w = BitStackWriter(out)
+    w.write_bits(0b101, 3)
+    w.write_bits_unmasked(0b11, 2)
+    w.write_bits_raw(0x7FFF, 15)
+    w.write_bits_raw_unmasked(1, 1)
+    w.flush()
+    w.write_bits(1, 1)  # marker
+    total = w.finish()
+    assert total == 22
+    r = BitStackReader.new(bytes(out))
+    assert r is not None
+    assert r.read_no_reload(1) == 1
+    assert r.peek(15) == 0x7FFF
+    r.advance_no_reload(15)
+    r.reload()
+    assert r.read(2) == 0b11
+    assert r.read(3) == 0b101
+    assert r.finish()
