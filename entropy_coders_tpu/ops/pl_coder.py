@@ -400,13 +400,18 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
                    state_s, cur_s, wb_s, blo_s, bhi_s, base_s, ch_s,
                    *, S, W, L, R, G, hi_n, E, p_refill):
     r = pl.program_id(1)
-    symt = symt_ref[0]  # (4,128): [tb_hi0, tb_hi1, fs_hi0+2^15, fs_hi1+2^15]
-    stt = stt_ref[0]    # (hi_n,128) next-state table
+    symt = symt_ref[0]  # (2,St,128) packed symbol transforms (see below)
+    stt = stt_ref[0]    # (hi_n,St,128) next-state table
 
     def _sym_transform(sym):
-        tb = _gather_rows(symt[0:2], sym, 2, S)
-        fs = _gather_rows(symt[2:4], sym, 2, S) - (1 << 15)
-        return tb, fs
+        # one packed gather: mb(4b) | min_state_plus(14b) | fs+4096(13b)
+        # (tt_bits == (mb<<16) - msp, reference src/fse.rs:164-189; the
+        # ranges fit 31 bits for every L <= 12)
+        v = _gather_rows(symt, sym, 2, S)
+        mb = _shr_u(v, 27)
+        msp = _shr_u(v, 13) & 0x3FFF
+        fs = (v & 0x1FFF) - 4096
+        return lax.shift_left(mb, 16) - msp, fs
 
     def _dump(words8, b, upto):
         """Add chunk registers holding rows [b, upto) into the output
@@ -551,7 +556,7 @@ def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, 128), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, symt.shape[2], 128),
+            pl.BlockSpec((1, 2, symt.shape[2], 128),
                          lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hi_n, stt.shape[2], 128),
@@ -598,9 +603,12 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
     F = _fuse_factor(B, k, mesh)
     symt, stt = [], []
     for (t, tb, fs) in enc_tables:
-        tbr = _table_rows(tb)                      # (2,128)
-        fsr = _table_rows(np.asarray(fs, np.int64) + (1 << 15))
-        symt.append(np.concatenate([tbr, fsr]))    # (4,128)
+        tb = np.asarray(tb, np.uint32).astype(np.int64)
+        fs = np.asarray(fs, np.int64)
+        mb = (tb + 0xFFFF) >> 16           # max_bits_out (ceil of tb/2^16)
+        msp = (mb << 16) - tb              # min_state_plus
+        assert mb.max() <= 15 and msp.max() <= 0x3FFF and np.abs(fs).max() < 4096
+        symt.append(_table_rows((mb << 27) | (msp << 13) | (fs + 4096)))
         stt.append(_table_rows(t))
     syms = np.asarray(syms, np.uint8)
     init_syms = np.asarray(init_syms, np.uint8)
