@@ -20,17 +20,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .constants import TABLE_LOG_DEFAULT
+from .constants import TABLE_LOG_DEFAULT, TABLE_LOG_MAX, TABLE_LOG_MIN
 from .normalize import normalize_batch
 from .ops import pl_coder as PL
 from .ops.coder import _cdiv, _decode_core, _encode_core
 from .ops.histogram import histogram_blocks
 from .ops.tables import build_decode_table, build_encode_table
-from .spec.fse import DecodeTable, EncodeTable
 from .spec.histogram import NormHistogram
 
 MAGIC = b"FSET"
-VERSION = 1
+# v2: FLAG_CRC table + MODE_FSE_PL sections (v1 readers would misparse
+# them, so the additions bumped the version; readers also reject unknown
+# flag bits — the format is unstable until 1.0).
+VERSION = 2
 FLAG_SHARED = 1
 FLAG_CRC = 2  # per-block crc32 table present (integrity checking)
 
@@ -102,14 +104,16 @@ def _blocks_to_syms(blocks: np.ndarray, m: int, R: int, k: int):
 def _pl_eligible(block_size: int, k: int, log2: int) -> bool:
     """Whether a full block can take the per-lane-stream Pallas path
     (MODE_FSE_PL): k a multiple of 128, block divisible into >= 2 bytes per
-    lane, worst-case lane bit count fits the u16 size field, and the table
-    small enough for the in-kernel one-hot gather (L <= 12)."""
+    lane, and worst-case lane bit count fits the u16 size field. The full
+    reference table-log range 5..15 is supported (reference:
+    src/fse.rs:103-106); above L=12 the kernels switch to a two-plane
+    symbol transform (ops.pl_coder._sym_transform)."""
     if k % 128 != 0 or block_size % k != 0:
         return False
     q = block_size // k
     if q < 2 or (q - 1) * log2 + log2 >= (1 << 16):
         return False
-    return 5 <= log2 <= 12
+    return 5 <= log2 <= 15
 
 
 PL_TABLE_LOG = 10  # flagship default: decode cost scales with 2^L/128
@@ -155,6 +159,7 @@ def compress(
     modes = np.full(n_blocks, MODE_FSE, np.int32)
 
     shared_hdr = b""
+    s_shared = None
     if shared_table:
         # one histogram over everything, one table for every block
         counts_all = np.bincount(data, minlength=256).astype(np.uint32)
@@ -162,18 +167,22 @@ def compress(
             shared_table = False  # degenerate data: everything goes RLE/RAW
         else:
             tables, log2s = normalize_batch(counts_all[None], total_len, table_log)
-            s_norm = NormHistogram(tables[0], int(log2s[0]), _tl(tables[0]))
-            hdr = bytearray()
-            s_norm.write(hdr)
-            shared_hdr = bytes(hdr)
+            s_shared = (tables[0], int(log2s[0]))
+            shared_hdr = _write_header(tables[0], int(log2s[0]))
 
+    nsym = None
     if full:
         blocks = data[: full * block_size].reshape(full, block_size)
-        counts = np.asarray(histogram_blocks(jnp.asarray(blocks)))
+        # one h2d for the whole input: the device copy feeds both the
+        # batched histogram and (when eligible) the lane encode kernels
+        blocks_dev = jnp.asarray(blocks) if sharding is None else None
+        counts = np.asarray(histogram_blocks(
+            blocks_dev if blocks_dev is not None else jnp.asarray(blocks)))
         # single-symbol blocks can't be FSE-coded (the reference's
         # normalization rejects table_len == 1, src/histogram.rs:98);
         # they take the RLE escape below.
-        codable = np.flatnonzero((counts != 0).sum(axis=1) > 1)
+        nsym = (counts != 0).sum(axis=1)
+        codable = np.flatnonzero(nsym > 1)
         if codable.size:
             if shared_table:
                 norm_tables = np.repeat(tables, codable.size, axis=0)
@@ -182,42 +191,54 @@ def compress(
                 norm_tables, log2_arr = normalize_batch(
                     counts[codable], block_size, table_log
                 )
+            all_rows = codable.size == full
             _encode_group(
-                blocks[codable], norm_tables, log2_arr, k,
+                blocks if all_rows else blocks[codable],
+                norm_tables, log2_arr, k,
                 shared_table, sections, modes, codable,
                 sharding=sharding, lanes=lanes, interpret=interpret,
+                blocks_dev=(blocks_dev if all_rows or blocks_dev is None
+                            else blocks_dev[codable]),
             )
 
     if full * block_size < total_len:  # ragged tail block
         tail = data[full * block_size :]
-        _encode_tail(tail, k, table_log, shared_table,
-                     s_norm if shared_table else None, sections, modes, n_blocks - 1)
+        _encode_tail(tail, k, table_log, shared_table, s_shared,
+                     sections, modes, n_blocks - 1,
+                     lanes=lanes, interpret=interpret)
 
-    # RAW/RLE escapes where FSE did not win
+    # RAW/RLE escapes where FSE did not win. Constant-block detection for
+    # full blocks comes free from the device histogram (nsym == 1).
     raw_lens = [min(block_size, total_len - i * block_size) for i in range(n_blocks)]
     for i in range(n_blocks):
-        raw = data[i * block_size : i * block_size + raw_lens[i]]
-        if modes[i] in (MODE_FSE, MODE_FSE_PL) and len(sections[i]) >= raw_lens[i]:
+        rl = raw_lens[i]
+        o = i * block_size
+        if modes[i] in (MODE_FSE, MODE_FSE_PL) and len(sections[i]) >= rl:
             modes[i] = MODE_RAW
-            sections[i] = raw.tobytes()
-        if modes[i] != MODE_RLE and raw_lens[i] > 1 and (raw == raw[0]).all():
+            sections[i] = data[o : o + rl].tobytes()
+        if nsym is not None and i < len(nsym):
+            is_const = bool(nsym[i] == 1)
+        else:
+            is_const = rl > 1 and bool((data[o : o + rl] == data[o]).all())
+        if modes[i] != MODE_RLE and rl > 1 and is_const:
             modes[i] = MODE_RLE
-            sections[i] = bytes([int(raw[0])])
+            sections[i] = bytes([int(data[o])])
 
-    out = bytearray(_frame_header(total_len, k, block_size, n_blocks,
-                                  shared_table, checksum))
+    parts = [_frame_header(total_len, k, block_size, n_blocks,
+                           shared_table, checksum)]
     if shared_table:
-        out += struct.pack("<H", len(shared_hdr)) + shared_hdr
-    for i in range(n_blocks):
-        out += struct.pack("<I", (int(modes[i]) << 30) | len(sections[i]))
+        parts.append(struct.pack("<H", len(shared_hdr)) + shared_hdr)
+    entries = (modes.astype(np.uint32) << 30) | np.array(
+        [len(s) for s in sections], np.uint32)
+    parts.append(entries.astype("<u4").tobytes())
     if checksum:
         import zlib
-        for i in range(n_blocks):
-            raw = data[i * block_size : i * block_size + raw_lens[i]]
-            out += struct.pack("<I", zlib.crc32(raw) & 0xFFFFFFFF)
-    for s in sections:
-        out += s
-    return bytes(out)
+        crcs = np.array(
+            [zlib.crc32(data[i * block_size : i * block_size + raw_lens[i]])
+             & 0xFFFFFFFF for i in range(n_blocks)], np.uint32)
+        parts.append(crcs.astype("<u4").tobytes())
+    parts.extend(sections)
+    return b"".join(parts)
 
 
 def _put(arr, sharding):
@@ -233,6 +254,33 @@ def _tl(table) -> int:
     return int(nz[-1]) + 1 if nz.size else 1
 
 
+def _write_header(table, log2: int) -> bytes:
+    """Zstd-format histogram header bytes (native C++ when available —
+    the Python spec writer is bigint bit I/O, ~1000x slower)."""
+    from . import native
+
+    if native.available():
+        return native.write_header(np.asarray(table, np.int32), int(log2),
+                                   _tl(table))
+    hdr = bytearray()
+    NormHistogram(np.asarray(table), int(log2), _tl(table)).write(hdr)
+    return bytes(hdr)
+
+
+def _read_block_header(sec: bytes):
+    """Parse a histogram header off the front of a block section.
+    Returns (table (256,) int32, log2, payload) — native C++ when
+    available, spec fallback otherwise. Raises ValueError on malformed
+    headers (HistError is a ValueError subclass)."""
+    from . import native
+
+    if native.available():
+        table, log2, _tl_, n = native.read_header(sec)
+        return table, log2, sec[n:]
+    norm, rest = NormHistogram.read(sec)
+    return np.asarray(norm.table, np.int32), norm.log2, rest
+
+
 def _frame_header(total_len, k, block_size, n_blocks, shared,
                   crc=False) -> bytes:
     flags = (FLAG_SHARED if shared else 0) | (FLAG_CRC if crc else 0)
@@ -243,64 +291,60 @@ def _frame_header(total_len, k, block_size, n_blocks, shared,
     )
 
 
-def _encode_group_pl(blocks, norm_tables, l2, k, shared_table,
+def _encode_group_pl(blocks_src, norm_tables, l2, k, shared_table,
                      sections, modes, block_ids, interpret=False,
                      sharding=None):
     """Per-lane-stream (MODE_FSE_PL) batched encode of equal-size blocks
     sharing one table log2, on the Pallas TPU kernels (ops.pl_coder).
-    With ``sharding`` the block batch shards over the mesh (padded by
-    replicating the first block; pad results are discarded)."""
-    B, n = blocks.shape
+    ``blocks_src`` may be a host or device (B, n) uint8 array; table
+    build, transform packing and data layout all run on device
+    (PL.encode_lanes_norm). With ``sharding`` the block batch shards over
+    the mesh (padded internally; pad results are discarded)."""
+    B, n = blocks_src.shape
     mesh = sharding.mesh if sharding is not None else None
-    if mesh is not None and B % mesh.size:
-        pad = mesh.size - B % mesh.size
-        blocks = np.concatenate([blocks, blocks[:1].repeat(pad, 0)])
-        norm_tables = np.concatenate(
-            [norm_tables, norm_tables[:1].repeat(pad, 0)])
-    Bp = blocks.shape[0]
     R = n // k - 1
-    syms = blocks[:, : R * k].reshape(Bp, R, k)
-    init_syms = np.ascontiguousarray(blocks[:, R * k:])
-    encs = []
-    for r in range(Bp):
-        hist = NormHistogram(norm_tables[r], int(l2), _tl(norm_tables[r]))
-        et = EncodeTable(hist)
-        encs.append((et.table, et.tt_bits, et.tt_find_state))
     W = PL.encode_w_bound(R, int(l2))
-    words, sizes = PL.encode_lanes(syms, init_syms, encs, k=k, L=int(l2),
-                                   W=W, interpret=interpret, mesh=mesh)
-    for j, r in enumerate(range(B)):
+    words, sizes = PL.encode_lanes_norm(blocks_src, norm_tables, k=k,
+                                        L=int(l2), W=W,
+                                        interpret=interpret, mesh=mesh)
+    for j in range(B):
         payload = PL.lane_merge(words[j], sizes[j])
         sec = sizes[j].astype("<u2").tobytes() + payload
         if not shared_table:
-            hdr = bytearray()
-            NormHistogram(norm_tables[r], int(l2), _tl(norm_tables[r])).write(hdr)
-            sec = bytes(hdr) + sec
-        sections[block_ids[r]] = sec
-        modes[block_ids[r]] = MODE_FSE_PL
+            sec = _write_header(norm_tables[j], int(l2)) + sec
+        sections[block_ids[j]] = sec
+        modes[block_ids[j]] = MODE_FSE_PL
 
 
 def _encode_group(blocks, norm_tables, log2_arr, k, shared_table,
                   sections, modes, block_ids, sharding=None, lanes=False,
-                  interpret=False):
+                  interpret=False, blocks_dev=None):
     """Batched encode of equal-size blocks, grouped by effective log2.
 
     With ``sharding`` (a NamedSharding over the block axis), inputs are
     placed across the mesh and XLA partitions the whole batched
     encode — each chip encodes its blocks independently (data parallel
     over blocks, no cross-chip communication in the encode itself).
-    With ``lanes``, eligible groups take the per-lane-stream Pallas path."""
+    With ``lanes``, eligible groups take the per-lane-stream Pallas path
+    (reading from ``blocks_dev``, the already-device-resident copy of
+    ``blocks``, when the caller provides one)."""
     B, n = blocks.shape
-    m, R, valid, finish_slots, W = _encode_layout(n, k)
-    syms, init_syms = _blocks_to_syms(blocks, m, R, k)
+    layout = None  # shared-stream emission layout, built on first use
 
     for l2 in np.unique(log2_arr):
         rows = np.flatnonzero(log2_arr == l2)
         if lanes and _pl_eligible(n, k, int(l2)):
-            _encode_group_pl(blocks[rows], norm_tables[rows], int(l2), k,
+            src = blocks_dev if blocks_dev is not None else blocks
+            if len(rows) != B:
+                src = src[rows]
+            _encode_group_pl(src, norm_tables[rows], int(l2), k,
                              shared_table, sections, modes, block_ids[rows],
                              interpret=interpret, sharding=sharding)
             continue
+        if layout is None:
+            m, R, valid, finish_slots, W = _encode_layout(n, k)
+            syms, init_syms = _blocks_to_syms(blocks, m, R, k)
+            layout = True
         nrows = len(rows)
         pad_rows = 0
         if sharding is not None:
@@ -325,12 +369,16 @@ def _encode_group(blocks, norm_tables, log2_arr, k, shared_table,
             if shared_table:
                 sections[block_ids[r]] = payload
             else:
-                hdr = bytearray()
-                NormHistogram(norm_tables[r], int(l2), _tl(norm_tables[r])).write(hdr)
-                sections[block_ids[r]] = bytes(hdr) + payload
+                sections[block_ids[r]] = (
+                    _write_header(norm_tables[r], int(l2)) + payload)
 
 
-def _encode_tail(tail, k, table_log, shared_table, s_norm, sections, modes, idx):
+def _encode_tail(tail, k, table_log, shared_table, s_shared, sections,
+                 modes, idx, lanes=False, interpret=False):
+    """Encode the ragged last block. Takes the per-lane Pallas path when
+    the tail happens to be lane-divisible (same eligibility as full
+    blocks), the shared-stream path otherwise. ``s_shared`` is the
+    (table, log2) pair of the frame's shared histogram, if any."""
     n = len(tail)
     k_t = min(k, n)  # every stream needs at least one byte
     if n < 8 or k_t < 1:
@@ -339,15 +387,18 @@ def _encode_tail(tail, k, table_log, shared_table, s_norm, sections, modes, idx)
         return
     try:
         if shared_table:
-            norm_tables = np.asarray(s_norm.table)[None]
-            log2_arr = np.array([s_norm.log2])
+            norm_tables = np.asarray(s_shared[0])[None]
+            log2_arr = np.array([s_shared[1]])
         else:
             counts = np.bincount(tail, minlength=256).astype(np.uint32)[None]
             norm_tables, log2_arr = normalize_batch(counts, n, table_log)
         tmp_sections = [b""]
+        tmp_modes = np.full(1, MODE_FSE, np.int32)
         _encode_group(tail[None, :], norm_tables, log2_arr, k_t,
-                      shared_table, tmp_sections, modes, np.array([0]))
+                      shared_table, tmp_sections, tmp_modes, np.array([0]),
+                      lanes=lanes, interpret=interpret)
         sections[idx] = tmp_sections[0]
+        modes[idx] = tmp_modes[0]
     except ValueError:
         modes[idx] = MODE_RAW
         sections[idx] = tail.tobytes()
@@ -365,8 +416,16 @@ class _ParsedFrame:
     shared: bool
     shared_hdr: bytes
     modes: np.ndarray
-    sections: list[bytes]
+    lens: np.ndarray
+    offs: np.ndarray  # absolute offset of each block section in the frame
+    frame: bytes
     crcs: np.ndarray | None = None
+
+    def section(self, i: int) -> bytes:
+        """Materialize block i's section bytes (lazy — a range decode of a
+        huge frame touches only the sections it needs)."""
+        o = int(self.offs[i])
+        return self.frame[o : o + int(self.lens[i])]
 
 
 def _parse_frame(frame: bytes) -> _ParsedFrame:
@@ -377,6 +436,8 @@ def _parse_frame(frame: bytes) -> _ParsedFrame:
     )
     if version != VERSION:
         raise ValueError(f"unsupported version {version}")
+    if flags & ~(FLAG_SHARED | FLAG_CRC):
+        raise ValueError(f"unknown frame flags 0x{flags:02x}")
     off = 4 + struct.calcsize("<BBHIQI")
     shared = bool(flags & FLAG_SHARED)
     shared_hdr = b""
@@ -385,21 +446,25 @@ def _parse_frame(frame: bytes) -> _ParsedFrame:
         off += 2
         shared_hdr = frame[off : off + hlen]
         off += hlen
+    if len(frame) < off + 4 * n_blocks:
+        raise ValueError("truncated frame: block table")
     entries = np.frombuffer(frame, np.uint32, count=n_blocks, offset=off)
     off += 4 * n_blocks
     modes = (entries >> 30).astype(np.int32)
     lens = (entries & ((1 << 30) - 1)).astype(np.int64)
     crcs = None
     if flags & FLAG_CRC:
+        if len(frame) < off + 4 * n_blocks:
+            raise ValueError("truncated frame: crc table")
         crcs = np.frombuffer(frame, np.uint32, count=n_blocks,
                              offset=off).copy()
         off += 4 * n_blocks
-    sections = []
-    for ln in lens:
-        sections.append(frame[off : off + int(ln)])
-        off += int(ln)
+    offs = off + np.concatenate([[0], np.cumsum(lens)[:-1]]) if n_blocks \
+        else np.zeros(0, np.int64)
+    if n_blocks and len(frame) < off + int(lens.sum()):
+        raise ValueError("truncated frame: sections")
     return _ParsedFrame(k, block_size, total_len, n_blocks, shared,
-                        shared_hdr, modes, sections, crcs)
+                        shared_hdr, modes, lens, offs, frame, crcs)
 
 
 def decompress(frame: bytes, *, sharding=None, interpret: bool = False,
@@ -421,15 +486,16 @@ def decompress(frame: bytes, *, sharding=None, interpret: bool = False,
     else:
         b_lo, b_hi = 0, 0
     wanted = range(b_lo, min(max(b_hi, b_lo), pf.n_blocks))
-    out = np.zeros(pf.total_len, np.uint8)
-    raw_lens = [
-        min(pf.block_size, pf.total_len - i * pf.block_size)
-        for i in range(pf.n_blocks)
-    ]
+    # the output buffer spans only the wanted blocks — a small range read
+    # of a huge frame allocates O(blocks touched), not O(total_len)
+    base = b_lo * pf.block_size
+    span = min(wanted.stop * pf.block_size, pf.total_len) - base \
+        if len(wanted) else 0
+    out = np.zeros(max(span, 0), np.uint8)
 
-    shared_norm = None
+    shared_tbl = shared_l2 = None
     if pf.shared:
-        shared_norm, rest = NormHistogram.read(pf.shared_hdr)
+        shared_tbl, shared_l2, rest = _read_block_header(pf.shared_hdr)
         if rest:
             raise ValueError("trailing bytes after shared histogram header")
 
@@ -437,87 +503,93 @@ def decompress(frame: bytes, *, sharding=None, interpret: bool = False,
     groups: dict[tuple[int, int], list[tuple[int, bytes, np.ndarray]]] = {}
     pl_groups: dict[tuple[int, int], list[tuple[int, bytes, np.ndarray]]] = {}
     for i in wanted:
-        mode, sec, rl = int(pf.modes[i]), pf.sections[i], raw_lens[i]
-        o = i * pf.block_size
+        mode, sec = int(pf.modes[i]), pf.section(i)
+        rl = min(pf.block_size, pf.total_len - i * pf.block_size)
+        o = i * pf.block_size - base
         if mode == MODE_RAW:
             if len(sec) != rl:
                 raise ValueError(f"raw block {i} length mismatch")
             out[o : o + rl] = np.frombuffer(sec, np.uint8)
         elif mode == MODE_RLE:
+            if len(sec) != 1:
+                raise ValueError(f"rle block {i} length mismatch")
             out[o : o + rl] = sec[0]
-        elif mode == MODE_FSE:
+        elif mode in (MODE_FSE, MODE_FSE_PL):
             if pf.shared:
-                norm, payload = shared_norm, sec
+                tbl, l2, payload = shared_tbl, shared_l2, sec
             else:
-                norm, payload = NormHistogram.read(sec)
-            groups.setdefault((rl, norm.log2), []).append((i, payload, norm.table))
-        elif mode == MODE_FSE_PL:
-            if pf.shared:
-                norm, payload = shared_norm, sec
-            else:
-                norm, payload = NormHistogram.read(sec)
-            pl_groups.setdefault((rl, norm.log2), []).append(
-                (i, payload, norm.table))
+                tbl, l2, payload = _read_block_header(sec)
+            dst = pl_groups if mode == MODE_FSE_PL else groups
+            dst.setdefault((rl, l2), []).append((i, payload, tbl))
         else:
             raise ValueError(f"bad block mode {mode}")
 
     for (rl, log2), items in groups.items():
-        _decode_group(items, rl, log2, pf, out, raw_lens, sharding=sharding)
+        _decode_group(items, rl, log2, pf, out, base, sharding=sharding)
     for (rl, log2), items in pl_groups.items():
-        _decode_group_pl(items, rl, log2, pf, out, interpret=interpret,
-                         sharding=sharding)
+        _decode_group_pl(items, rl, log2, pf, out, base,
+                         interpret=interpret, sharding=sharding)
     if pf.crcs is not None:
         import zlib
         for i in wanted:
-            o = i * pf.block_size
-            got = zlib.crc32(out[o : o + raw_lens[i]]) & 0xFFFFFFFF
+            o = i * pf.block_size - base
+            rl = min(pf.block_size, pf.total_len - i * pf.block_size)
+            got = zlib.crc32(out[o : o + rl]) & 0xFFFFFFFF
             if got != int(pf.crcs[i]):
                 raise ValueError(f"block {i}: crc mismatch (corrupt frame)")
-    return out[start : start + length].tobytes()
+    return out[start - base : start - base + length].tobytes()
 
 
-def _decode_group_pl(items, raw_len, log2, pf, out, interpret=False,
-                     sharding=None):
+def _decode_group_pl(items, raw_len, log2, pf, out, out_base,
+                     interpret=False, sharding=None):
     """Batched decode of MODE_FSE_PL blocks (per-lane streams) sharing one
-    (raw_len, log2), on the Pallas TPU kernels. With ``sharding`` the
-    batch shards over the mesh (padded with copies of the first block)."""
+    (raw_len, log2), on the Pallas TPU kernels: decode tables build on
+    device from the histograms (PL.decode_lanes_norm). With ``sharding``
+    the batch shards over the mesh (padded internally)."""
     k = pf.k
-    if raw_len % k != 0 or raw_len // k < 2:
+    if not (TABLE_LOG_MIN <= log2 <= TABLE_LOG_MAX):
+        raise ValueError(f"corrupt frame: table log {log2} out of range")
+    if k % 128 != 0 or raw_len % k != 0 or raw_len // k < 2:
         raise ValueError("corrupt frame: FSE_PL block not lane-divisible")
     R = raw_len // k - 1
     mesh = sharding.mesh if sharding is not None else None
-    n_items = len(items)
-    if mesh is not None and len(items) % mesh.size:
-        items = items + items[:1] * (mesh.size - len(items) % mesh.size)
     B = len(items)
     sizes = np.zeros((B, k), np.int32)
     words_list = []
-    packed = np.zeros((B, 1 << log2), np.uint32)
+    norm_tables = np.zeros((B, 256), np.int32)
     for j, (i, sec, nt) in enumerate(items):
         if len(sec) < 2 * k:
             raise ValueError(f"block {i}: truncated lane sizes")
         sz = np.frombuffer(sec[: 2 * k], "<u2").astype(np.int32)
-        if (sz < log2).any():
-            raise ValueError(f"block {i}: lane stream shorter than a state")
+        if (sz < log2).any() or int(((sz + 7) >> 3).sum()) != len(sec) - 2 * k:
+            raise ValueError(f"block {i}: bad lane sizes")
+        # framing check (the marker-bit rule's per-lane analog, reference
+        # src/bitstream/stack_reader.rs:81-83): the dead bits above each
+        # lane's top bit must be zero
+        buf = np.frombuffer(sec, np.uint8, offset=2 * k)
+        last = buf[np.cumsum((sz + 7) >> 3) - 1].astype(np.int32)
+        if (last >> (((sz - 1) & 7) + 1)).any():
+            raise ValueError(f"block {i}: lane framing error")
         sizes[j] = sz
         w, Wb = PL.lane_split(sec[2 * k:], sz, k)
         words_list.append(w)
-        hist = NormHistogram(nt, log2, _tl(nt))
-        dt = DecodeTable(hist)
-        packed[j, : dt.packed.shape[0]] = dt.packed
+        norm_tables[j] = nt
     W = -(-max(w.shape[0] for w in words_list) // 16) * 16  # bucket compiles
     words = np.zeros((B, W, k), np.uint32)
     for j, w in enumerate(words_list):
         words[j, : w.shape[0]] = w
-    syms, finals = PL.decode_lanes(words, sizes, packed, k=k, L=log2, R=R,
-                                   interpret=interpret, mesh=mesh)
-    for j, (i, _, _) in enumerate(items[:n_items]):
-        o = i * pf.block_size
+    syms, finals = PL.decode_lanes_norm(words, sizes, norm_tables, k=k,
+                                        L=log2, R=R, interpret=interpret,
+                                        mesh=mesh)
+    syms = np.asarray(syms)
+    finals = np.asarray(finals)
+    for j, (i, _, _) in enumerate(items):
+        o = i * pf.block_size - out_base
         out[o : o + R * k] = syms[j].reshape(-1)
         out[o + R * k : o + raw_len] = finals[j]
 
 
-def _decode_group(items, raw_len, log2, pf, out, raw_lens, sharding=None):
+def _decode_group(items, raw_len, log2, pf, out, out_base, sharding=None):
     k = min(pf.k, raw_len)
     if sharding is not None:
         # pad the batch to the mesh size by replicating the first block
@@ -561,6 +633,6 @@ def _decode_group(items, raw_len, log2, pf, out, raw_lens, sharding=None):
     if not (emit_count == m).all():
         raise ValueError("decoded length mismatch: corrupt frame")
     for j, (i, _, _) in enumerate(items):
-        o = i * pf.block_size
+        o = i * pf.block_size - out_base
         out[o : o + m] = syms[j, :m]
         out[o + m : o + raw_len] = finals[j]

@@ -42,9 +42,13 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .tables import build_decode_table, build_encode_table
+
 __all__ = [
     "decode_lanes",
+    "decode_lanes_norm",
     "encode_lanes",
+    "encode_lanes_norm",
     "encode_w_bound",
     "lane_split",
     "lane_merge",
@@ -332,6 +336,184 @@ def _expand_tbl(rows_list, S_each, F):
     return np.ascontiguousarray(t)  # (Bp//F, hi_n, F*S_each, 128)
 
 
+# ---------------------------------------------------------------------------
+# Device-native batched entry points (tables built on device from the
+# normalized histograms; all layout work traced into one jit)
+# ---------------------------------------------------------------------------
+
+
+def _rows_dev(vals_i32):
+    """(B, n) int32 -> (B, max(n//128,1), 128) gather rows (device analog
+    of _table_rows; entry i of block b lives at [b, i >> 7, i & 127])."""
+    B, n = vals_i32.shape
+    if n < 128:
+        vals_i32 = jnp.pad(vals_i32, ((0, 0), (0, 128 - n)))
+    return vals_i32.reshape(B, -1, 128)
+
+
+def _fuse_tbl_dev(rows, S_each, F):
+    """Device analog of _expand_tbl: (B, hn, 128) -> (B//F, hn, St, 128)
+    with St = 1 (broadcast) for F == 1 else F*S_each per-sublane rows."""
+    B, hn, _ = rows.shape
+    if F == 1:
+        return rows[:, :, None, :]
+    t = rows.reshape(B // F, F, hn, 128).transpose(0, 2, 1, 3)
+    return jnp.repeat(t, S_each, axis=2)
+
+
+def _pack_symt_dev(tt_bits, tt_fs, L):
+    """(B, 256) uint32 tt_bits + (B, 256) int32 tt_fs -> packed symbol
+    transform gather rows (B, 2 or 4, 128) int32 (same layouts as the
+    host packing in encode_lanes; ranges are static guarantees of L)."""
+    # tt_bits < 2^21 for every L <= 15 and all packings fit int32, so
+    # 32-bit math is exact (and independent of jax_enable_x64)
+    tb = tt_bits.astype(jnp.int32)
+    fs = tt_fs.astype(jnp.int32)
+    mb = (tb + 0xFFFF) >> 16
+    msp = (mb << 16) - tb
+    if L <= 12:
+        return _rows_dev((mb << 27) | (msp << 13) | (fs + 4096))
+    plane_a = _rows_dev((mb << 18) | (fs + (1 << 17)))
+    return jnp.concatenate([plane_a, _rows_dev(msp)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L", "R", "W", "F",
+                                             "interpret"))
+def _encode_e2e(blocks, norm_tables, *, k, L, R, W, F, interpret):
+    """Raw blocks + normalized histograms -> encoded lane words, fully on
+    device: batched table build (ops.tables), transform packing, symbol
+    reversal, superblock fusion, and the Pallas kernel in one jit."""
+    B = blocks.shape[0]
+    S_each = k // 128
+    Bf, S = B // F, F * k // 128
+    tbl, tt_bits, tt_fs = jax.vmap(
+        functools.partial(build_encode_table, log2=L))(
+            norm_tables.astype(jnp.int32))
+    symtf = _fuse_tbl_dev(_pack_symt_dev(tt_bits, tt_fs, L), S_each, F)
+    sttf = _fuse_tbl_dev(_rows_dev(tbl.astype(jnp.int32)), S_each, F)
+    # lane i codes bytes {i, i+k, ...}: round r, lane i = byte r*k+i; the
+    # kernel consumes rounds in reverse; each lane's LAST byte folds into
+    # the initial state (reference src/fse.rs:210-218)
+    syms_rev = jnp.flip(blocks[:, : R * k].reshape(B, R, k), axis=1)
+    syms_f = (syms_rev.reshape(Bf, F, R, k).transpose(0, 2, 1, 3)
+              .reshape(Bf, R, S, 128))
+    initf = blocks[:, R * k :].reshape(Bf, S, 128)
+    words, sizes = _encode_call(syms_f, initf, symtf, sttf, S=S, W=W, L=L,
+                                R=R, interpret=interpret)
+    return words, sizes.reshape(Bf, F, k).reshape(B, k)
+
+
+@functools.partial(jax.jit, static_argnames=("w_act", "F", "k"))
+def _unfuse_words(words, *, w_act, F, k):
+    """(Bf, W, S, 128) fused kernel words -> (Bf*F, w_act, k) per-block
+    rows (device-side slice to the populated rows + unfuse transpose)."""
+    Bf = words.shape[0]
+    w = words[:, :w_act].reshape(Bf, w_act, F, k)
+    return w.transpose(0, 2, 1, 3).reshape(Bf * F, w_act, k)
+
+
+def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
+                      interpret=False, mesh=None):
+    """Device-native encode_lanes: takes raw blocks (B, n) uint8 with
+    n = (R+1)*k and builds the tANS tables on device from the (B, 256)
+    int32 normalized histograms (must all share table log ``L``) instead
+    of taking host-built tables. Inputs may be host or device arrays; one
+    h2d for the data, one d2h for the results.
+    Returns (words (B, w_act, k) uint32, sizes (B, k) int32)."""
+    B, n = blocks.shape
+    if n % k or k % 128:
+        raise ValueError("k must be a multiple of 128 and divide n")
+    R = n // k - 1
+    interpret = interpret or jax.default_backend() != "tpu"
+    F = _fuse_factor(B, k, mesh)
+    pad = (-B) % (F * (mesh.size if mesh is not None else 1))
+    if pad:  # pad with copies of block 0 (results discarded)
+        blocks = jnp.concatenate([blocks, jnp.repeat(blocks[:1], pad, 0)])
+        norm_tables = jnp.concatenate(
+            [norm_tables, jnp.repeat(norm_tables[:1], pad, 0)])
+    call = functools.partial(_encode_e2e, k=k, L=L, R=R, W=W, F=F,
+                             interpret=interpret)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec
+
+        spec = PartitionSpec(mesh.axis_names[0])
+        call = jax.shard_map(call, mesh=mesh, in_specs=(spec,) * 2,
+                             out_specs=(spec, spec), check_vma=False)
+    words, sizes = call(jnp.asarray(blocks), jnp.asarray(norm_tables))
+    # pull the (small) sizes first, then transfer only the word rows that
+    # are actually populated — W is the worst-case bound, typically ~2x
+    # the real maximum. w_act is bucketed to multiples of 16 to bound the
+    # number of _unfuse_words compilations.
+    sizes = np.asarray(sizes)[:B]
+    w_act = min(_cdiv(int(sizes.max()) // 32 + 2, 16) * 16, W)
+    out = _unfuse_words(words, w_act=w_act, F=F, k=k)[:B]
+    return np.asarray(out).view(np.uint32), sizes
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L", "R", "F",
+                                             "interpret"))
+def _decode_e2e(words, sizes, norm_tables, *, k, L, R, F, interpret):
+    """Lane words + normalized histograms -> decoded symbols, fully on
+    device (batched decode-table build + fusion + the Pallas kernel)."""
+    B, W = words.shape[0], words.shape[1]
+    Bf, S = B // F, F * k // 128
+    packed = jax.vmap(functools.partial(build_decode_table, log2=L))(
+        norm_tables.astype(jnp.int32))
+    rows = _rows_dev(lax.bitcast_convert_type(packed, jnp.int32))
+    tblf = _fuse_tbl_dev(rows, k // 128, F)
+    wordsf = (words.reshape(Bf, F, W, k).transpose(0, 2, 1, 3)
+              .reshape(Bf, W, S, 128))
+    sizesf = sizes.reshape(Bf, S, 128)
+    syms, finals, err = _decode_call(wordsf, sizesf, tblf, S=S, W=W, L=L,
+                                     R=R, interpret=interpret)
+    syms = (syms[:, :R].reshape(Bf, R, F, k).transpose(0, 2, 1, 3)
+            .reshape(B, R, k))
+    finals = finals.reshape(Bf, F, k).reshape(B, k).astype(jnp.uint8)
+    return syms, finals, err
+
+
+def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
+                      interpret=False, mesh=None):
+    """Device-native decode_lanes: builds the decode tables on device from
+    the (B, 256) int32 normalized histograms (all sharing table log
+    ``L``). words is (B, W, k) uint32 host or device; returns
+    (syms (B, R, k) uint8, finals (B, k) uint8) as device arrays (the
+    caller picks when to pay the d2h). Raises ValueError on a corrupt
+    stream (any lane cursor not exactly drained)."""
+    B, W, kk = words.shape
+    if kk != k or k % 128:
+        raise ValueError("k must be a multiple of 128 and match words")
+    if W % 8:  # octo-chunk layout needs 8-row-aligned word arrays
+        words = np.concatenate(
+            [words, np.zeros((B, 8 - W % 8, k), words.dtype)], axis=1)
+    interpret = interpret or jax.default_backend() != "tpu"
+    F = _fuse_factor(B, k, mesh)
+    pad = (-B) % (F * (mesh.size if mesh is not None else 1))
+    if isinstance(words, np.ndarray):
+        words = words.view(np.int32)
+    else:
+        words = lax.bitcast_convert_type(words, jnp.int32)
+    sizes = jnp.asarray(sizes, jnp.int32)
+    norm_tables = jnp.asarray(norm_tables)
+    if pad:  # pad with copies of block 0 (results discarded)
+        words = jnp.concatenate([words, jnp.repeat(words[:1], pad, 0)])
+        sizes = jnp.concatenate([sizes, jnp.repeat(sizes[:1], pad, 0)])
+        norm_tables = jnp.concatenate(
+            [norm_tables, jnp.repeat(norm_tables[:1], pad, 0)])
+    call = functools.partial(_decode_e2e, k=k, L=L, R=R, F=F,
+                             interpret=interpret)
+    if mesh is not None:
+        from jax.sharding import PartitionSpec
+
+        spec = PartitionSpec(mesh.axis_names[0])
+        call = jax.shard_map(call, mesh=mesh, in_specs=(spec,) * 3,
+                             out_specs=(spec, spec, spec), check_vma=False)
+    syms, finals, err = call(jnp.asarray(words), sizes, norm_tables)
+    if int(jnp.sum(err)) != 0:
+        raise ValueError("corrupt stream: lane cursor not drained")
+    return syms[:B], finals[:B]
+
+
 def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
                  mesh=None):
     """Decode B blocks of k per-lane streams.
@@ -404,13 +586,22 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
     stt = stt_ref[0]    # (hi_n,St,128) next-state table
 
     def _sym_transform(sym):
-        # one packed gather: mb(4b) | min_state_plus(14b) | fs+4096(13b)
-        # (tt_bits == (mb<<16) - msp, reference src/fse.rs:164-189; the
-        # ranges fit 31 bits for every L <= 12)
-        v = _gather_rows(symt, sym, 2, S)
-        mb = _shr_u(v, 27)
-        msp = _shr_u(v, 13) & 0x3FFF
-        fs = (v & 0x1FFF) - 4096
+        # L <= 12: one packed gather, mb(4b) | min_state_plus(14b) |
+        # fs+4096(13b) (tt_bits == (mb<<16) - msp, reference
+        # src/fse.rs:164-189; the ranges fit 31 bits for every L <= 12).
+        # L >= 13: the fields no longer fit one word (msp up to 2^16,
+        # |fs| < 2^15, mb up to 16) — two planes, two gathers:
+        # plane A = mb(5b) | fs+2^17(18b), plane B = msp(17b).
+        if L <= 12:
+            v = _gather_rows(symt[:2], sym, 2, S)
+            mb = _shr_u(v, 27)
+            msp = _shr_u(v, 13) & 0x3FFF
+            fs = (v & 0x1FFF) - 4096
+        else:
+            va = _gather_rows(symt[:2], sym, 2, S)
+            msp = _gather_rows(symt[2:], sym, 2, S)
+            mb = _shr_u(va, 18)
+            fs = (va & 0x3FFFF) - (1 << 17)
         return lax.shift_left(mb, 16) - msp, fs
 
     def _dump(words8, b, upto):
@@ -513,7 +704,7 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         blo3, bhi3 = _put(blo2, bhi2, c - wb2 * 32, states & ((1 << L) - 1))
         # dump completed rows [base, wb2) first (frees their registers),
         # then park the window words and dump [wb2, wb2+2) — two passes,
-        # final step only, and collision-free for every L <= 12
+        # final step only, and collision-free for every L <= 15
         w2, ch2 = _dump(words_ref[0].reshape(W // 8, 8, S, 128),
                         base_s[:], wb2)
         for j in range(8):
@@ -534,7 +725,6 @@ def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
                  interpret=False, e_rounds=None):
     B = syms_rev.shape[0]
     assert W % 8 == 0, "W must be a multiple of 8 (octo-chunk layout)"
-    assert L <= 12, "encode chunk sizing requires table_log <= 12"
     E = e_rounds or _pick_e(L)
     p_refill = _pick_p(E, L)
     G = _cdiv(R, E)
@@ -556,7 +746,7 @@ def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, 128), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, symt.shape[2], 128),
+            pl.BlockSpec((1, symt.shape[1], symt.shape[2], 128),
                          lambda b, r: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hi_n, stt.shape[2], 128),
@@ -607,8 +797,14 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
         fs = np.asarray(fs, np.int64)
         mb = (tb + 0xFFFF) >> 16           # max_bits_out (ceil of tb/2^16)
         msp = (mb << 16) - tb              # min_state_plus
-        assert mb.max() <= 15 and msp.max() <= 0x3FFF and np.abs(fs).max() < 4096
-        symt.append(_table_rows((mb << 27) | (msp << 13) | (fs + 4096)))
+        if L <= 12:
+            assert mb.max() <= 15 and msp.max() <= 0x3FFF and np.abs(fs).max() < 4096
+            symt.append(_table_rows((mb << 27) | (msp << 13) | (fs + 4096)))
+        else:
+            # two-plane transform (see _sym_transform): A = mb|fs, B = msp
+            assert mb.max() <= 16 and msp.max() <= (1 << 16) and np.abs(fs).max() < (1 << 15)
+            plane_a = _table_rows((mb << 18) | (fs + (1 << 17)))
+            symt.append(np.concatenate([plane_a, _table_rows(msp)], axis=0))
         stt.append(_table_rows(t))
     syms = np.asarray(syms, np.uint8)
     init_syms = np.asarray(init_syms, np.uint8)

@@ -42,10 +42,12 @@ def compress(data, mesh: Mesh | None = None, **kwargs) -> bytes:
     return F.compress(data, sharding=block_sharding(mesh), **kwargs)
 
 
-def decompress(frame: bytes, mesh: Mesh | None = None) -> bytes:
-    """Decompress with blocks sharded over ``mesh``."""
+def decompress(frame: bytes, mesh: Mesh | None = None, **kwargs) -> bytes:
+    """Decompress with blocks sharded over ``mesh``. Accepts every
+    single-chip keyword (``interpret``, ``start``/``length`` range
+    decode, ...) and passes it through."""
     mesh = mesh or default_mesh()
-    return F.decompress(frame, sharding=block_sharding(mesh))
+    return F.decompress(frame, sharding=block_sharding(mesh), **kwargs)
 
 
 def sharded_histogram(blocks, mesh: Mesh):

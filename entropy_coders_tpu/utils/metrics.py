@@ -51,7 +51,7 @@ def frame_stats(frame: bytes) -> FrameStats:
     for i in range(pf.n_blocks):
         mode = names.get(int(pf.modes[i]), "?")
         mode_counts[mode] = mode_counts.get(mode, 0) + 1
-        sec = pf.sections[i]
+        sec = pf.section(i)
         if pf.modes[i] in (F.MODE_FSE, F.MODE_FSE_PL) and not pf.shared:
             _, rest = NormHistogram.read(sec)
             header_bytes += len(sec) - len(rest)

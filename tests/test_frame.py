@@ -95,7 +95,7 @@ def test_random_access_and_checksum(rng):
         assert F.decompress(comp, start=s, length=ln) == data[s:s + ln].tobytes()
     # corrupt one payload byte inside block 2 -> crc catches it
     pf = F._parse_frame(comp)
-    target = pf.sections[2]
+    target = pf.section(2)
     pos = comp.rfind(target)
     bad = bytearray(comp)
     bad[pos + len(target) // 2] ^= 0x40

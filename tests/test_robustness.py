@@ -84,7 +84,7 @@ def test_lane_sizes_tampered(pl_frame):
     from entropy_coders_tpu.spec.histogram import NormHistogram
     # find the first PL block's section offset inside the frame
     assert int(pf.modes[0]) == F.MODE_FSE_PL
-    sec = pf.sections[0]
+    sec = pf.section(0)
     _, rest = NormHistogram.read(sec)
     hdr_len = len(sec) - len(rest)
     off = comp.find(sec) + hdr_len  # lane size table offset
