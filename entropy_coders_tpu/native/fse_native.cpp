@@ -469,8 +469,11 @@ void build_decode(const NormHist& h, DecTable* dt) {
 struct Encoder {
   uint32_t value = 0;
   inline void init_first(const EncTable& t, uint8_t sym) {
+    // floor+1 instead of the reference's (b + 2^15) >> 16
+    // (src/fse.rs:213): identical for table_log <= 14, well-defined at
+    // 15 where the reference's form underflows u32.
     uint32_t b = t.tt_bits[sym];
-    uint32_t bits_out = (b + (1u << 15)) >> 16;
+    uint32_t bits_out = (b >> 16) + 1;
     value = (bits_out << 16) - b;
     int32_t idx = (int32_t)(value >> bits_out) + t.tt_fs[sym];
     value = t.table[idx];

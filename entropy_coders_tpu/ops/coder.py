@@ -76,8 +76,11 @@ def _encode_core(
     table_u32 = table.astype(jnp.uint32)
 
     # new_first_symbol for every lane (reference: src/fse.rs:210-218).
+    # floor+1 instead of the reference's (b0 + 2^15) >> 16: identical for
+    # table_log <= 14, and well-defined at 15 where the reference's form
+    # underflows u32 (see spec.fse.Encoder.new_first_symbol).
     b0 = tt_bits[init_syms]
-    bits_out0 = (b0 + np.uint32(1 << 15)) >> 16
+    bits_out0 = (b0 >> 16) + np.uint32(1)
     value0 = (bits_out0 << 16) - b0
     idx0 = (value0 >> bits_out0).astype(jnp.int32) + tt_fs[init_syms]
     states = table_u32[idx0]

@@ -625,10 +625,12 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         words_ref[0] = jnp.zeros((W, S, 128), jnp.int32)
         for j in range(8):
             ch_s[j] = jnp.zeros((S, 128), jnp.int32)
-        # new_first_symbol (reference: src/fse.rs:210-218)
+        # new_first_symbol (reference: src/fse.rs:210-218); floor+1 form:
+        # identical to the reference for table_log <= 14, well-defined at
+        # 15 where the reference underflows (spec.fse Encoder docstring)
         sym = init_ref[0].astype(jnp.int32)
         tb, fs = _sym_transform(sym)
-        bits_out0 = _shr_u(tb + (1 << 15), 16)
+        bits_out0 = _shr_u(tb, 16) + 1
         value0 = lax.shift_left(bits_out0, 16) - tb
         state_s[:] = _gather_rows(stt, _shr_u(value0, bits_out0) + fs,
                                   hi_n, S)

@@ -144,7 +144,13 @@ class Encoder:
         (reference: src/fse.rs:210-218)."""
         self = cls(table)
         bits = int(table.tt_bits[first_symbol])
-        bits_out = ((bits + (1 << 15)) & U32) >> 16
+        # The reference computes bits_out = (bits + 2^15) >> 16
+        # (src/fse.rs:213), which is floor(bits/2^16)+1 for every
+        # min_state_plus in [1, 2^15] — i.e. all of table_log <= 14 — but
+        # underflows u32 at table_log 15 (min_state_plus > 2^15 makes
+        # (bits_out<<16) - bits negative, a panic in Rust). floor+1 is the
+        # intent-true form, identical through L=14 and well-defined at 15.
+        bits_out = (bits >> 16) + 1
         self.value = ((bits_out << 16) - bits) & U32
         idx = (self.value >> bits_out) + int(table.tt_find_state[first_symbol])
         self.value = int(table.table[idx])

@@ -12,7 +12,7 @@ import pytest
 from entropy_coders_tpu.ops import pl_coder as PL
 from entropy_coders_tpu.spec.bitstream import BitStackWriter
 from entropy_coders_tpu.spec.fse import DecodeTable, EncodeTable, Encoder
-from entropy_coders_tpu.spec.histogram import NormHistogram
+from entropy_coders_tpu.spec.histogram import Histogram, NormHistogram
 
 
 def oracle_lane_stream(seq, enc: EncodeTable):
@@ -99,6 +99,70 @@ def test_encode_lanes_bit_exact(gen, Q):
         pad = np.zeros((We - words.shape[1], k), np.uint32)
         expect = PL.lane_merge(np.concatenate([words[b], pad]), sizes[b])
         assert got == expect
+
+
+@pytest.mark.parametrize("L", [13, 15])
+def test_pl_high_table_log_bit_exact(L):
+    """table_log 13-15 on the flagship path (reference supports the full
+    5..15 range in every code path, src/fse.rs:103-106). Encode uses the
+    two-plane symbol transform above L=12."""
+    B, k, Q = 1, 128, 5
+    rng = np.random.default_rng(L)
+    data = rng.integers(0, 256, k * Q, dtype=np.uint8)
+    hist = Histogram(data).normalize(L)
+    assert hist.log2 == L
+    L2, encs, packs, words, sizes = _oracle_blocks([data], [hist], k)
+    assert L2 == L
+    R = Q - 1
+    syms, finals = PL.decode_lanes(words, sizes, packs, k=k, L=L, R=R,
+                                   interpret=True)
+    got = np.concatenate([np.asarray(syms)[0].reshape(-1),
+                          np.asarray(finals)[0]])
+    assert got.tobytes() == data.tobytes()
+    syms_in = data[: R * k].reshape(1, R, k)
+    init_syms = data[R * k:].reshape(1, k)
+    We = PL.encode_w_bound(R, L)
+    kw, ks = PL.encode_lanes(syms_in, init_syms, encs, k=k, L=L, W=We,
+                             interpret=True)
+    assert (np.asarray(ks) == sizes).all()
+    assert PL.lane_merge(np.asarray(kw)[0], sizes[0]) == \
+        PL.lane_merge(words[0], sizes[0])
+
+
+def test_norm_entry_points_match_host_tables():
+    """encode_lanes_norm / decode_lanes_norm (device-built tables) produce
+    byte-identical streams to the host-table entry points / spec oracle."""
+    B, k, Q = 2, 256, 9
+    datas, hists = _mk(21, B, k, Q, geo)
+    L, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
+    R = Q - 1
+    blocks = np.stack(datas)
+    norm_tables = np.stack([np.asarray(h.table, np.int32) for h in hists])
+    We = PL.encode_w_bound(R, L)
+    w1, s1 = PL.encode_lanes_norm(blocks, norm_tables, k=k, L=L, W=We,
+                                  interpret=True)
+    assert (s1 == sizes).all()
+    for b in range(B):
+        assert PL.lane_merge(w1[b], s1[b]) == PL.lane_merge(words[b],
+                                                            sizes[b])
+    syms, finals = PL.decode_lanes_norm(words, sizes, norm_tables, k=k,
+                                        L=L, R=R, interpret=True)
+    for b, data in enumerate(datas):
+        got = np.concatenate([np.asarray(syms)[b].reshape(-1),
+                              np.asarray(finals)[b]])
+        assert got.tobytes() == data.tobytes()
+
+
+def test_frame_pl_high_log_roundtrip():
+    from entropy_coders_tpu import frame as F
+    rng = np.random.default_rng(13)
+    data = geo(rng, 2 * 4096)
+    comp = F.compress(data, block_size=4096, k=256, lanes=True,
+                      table_log=13, interpret=True)
+    pf = F._parse_frame(comp)
+    assert (pf.modes == F.MODE_FSE_PL).all()
+    out = F.decompress(comp, interpret=True)
+    assert out == data.tobytes()
 
 
 def test_corrupt_stream_raises():
