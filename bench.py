@@ -83,12 +83,13 @@ def main():
     L = None
     for j in range(B):
         assert int(pf.modes[j]) == F.MODE_FSE_PL
-        norm, sec = NormHistogram.read(pf.sections[j])
-        L = norm.log2 if L is None else L
-        assert norm.log2 == L, "bench blocks must share log2"
+        tbl, l2, sec = F._read_block_header(pf.section(j))
+        L = l2 if L is None else L
+        assert l2 == L, "bench blocks must share log2"
         sizes[j] = np.frombuffer(sec[: 2 * k], "<u2")
         w, _ = PL.lane_split(sec[2 * k:], sizes[j], k)
         words_list.append(w)
+        norm = NormHistogram(tbl, l2, int(np.flatnonzero(tbl)[-1]) + 1)
         tbls.append(PL._table_rows(DecodeTable(norm).packed))
     W = -(-max(w.shape[0] for w in words_list) // 16) * 16
     words = np.zeros((B, W, k), np.uint32)
@@ -111,19 +112,25 @@ def main():
     res = call()  # compile + warm
     assert int(jnp.sum(res[2])) == 0
     sync(res)
-    # marginal per-call time: N pipelined calls minus a 1-call baseline,
-    # so the fixed ~40 ms sync RPC cost of this sandbox cancels out
-    t0 = time.perf_counter()
-    sync(call())
-    t1 = time.perf_counter() - t0
-    n = 6
-    t0 = time.perf_counter()
-    rs = [call() for _ in range(n)]
-    sync(rs[-1])
-    tn = time.perf_counter() - t0
-    best = (tn - t1) / (n - 1)
-    if best <= t1 / 100:  # jitter swamped the baseline; amortized bound
-        best = tn / n
+    # Marginal per-call time: N pipelined calls minus a 1-call baseline,
+    # so the fixed ~40 ms sync RPC cost of this sandbox cancels out.
+    # Repeated over several measurement batches; the reported number is
+    # the MEDIAN marginal estimate (reproducible against host jitter).
+    n, batches = 6, 5
+    estimates = []
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        sync(call())
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rs = [call() for _ in range(n)]
+        sync(rs[-1])
+        tn = time.perf_counter() - t0
+        m = (tn - t1) / (n - 1)
+        if m <= t1 / 100:  # jitter swamped the baseline; amortized bound
+            m = tn / n
+        estimates.append(m)
+    best = float(np.median(estimates))
 
     value = size / best
     print(json.dumps({
@@ -131,6 +138,10 @@ def main():
         "value": round(value),
         "unit": "bytes/s",
         "vs_baseline": round(value / PER_CHIP_TARGET, 4),
+        "methodology": "device-resident steady-state kernel decode; "
+                       "median marginal time over %d batches" % batches,
+        "value_e2e_decompress": round(size / t_e2e),
+        "value_e2e_compress": round(size / t_comp),
     }))
     print(json.dumps({
         "backend": jax.default_backend(),
@@ -140,6 +151,7 @@ def main():
         "compress_s_e2e": round(t_comp, 3),
         "decompress_s_e2e": round(t_e2e, 3),
         "decode_s_device": round(best, 6),
+        "decode_s_device_samples": [round(e, 6) for e in estimates],
         "block_size": block_size,
         "k": k,
         "table_log": L,

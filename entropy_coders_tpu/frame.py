@@ -274,11 +274,17 @@ def _read_block_header(sec: bytes):
     headers (HistError is a ValueError subclass)."""
     from . import native
 
-    if native.available():
-        table, log2, _tl_, n = native.read_header(sec)
-        return table, log2, sec[n:]
-    norm, rest = NormHistogram.read(sec)
-    return np.asarray(norm.table, np.int32), norm.log2, rest
+    try:
+        if native.available():
+            table, log2, _tl_, n = native.read_header(sec)
+            return table, log2, sec[n:]
+        norm, rest = NormHistogram.read(sec)
+        return np.asarray(norm.table, np.int32), norm.log2, rest
+    except ValueError:
+        raise
+    except Exception as e:  # the spec reader is not fuzz-hardened;
+        # normalize anything it throws on garbage to the frame contract
+        raise ValueError(f"malformed histogram header: {e!r}") from e
 
 
 def _frame_header(total_len, k, block_size, n_blocks, shared,
@@ -429,6 +435,9 @@ class _ParsedFrame:
 
 
 def _parse_frame(frame: bytes) -> _ParsedFrame:
+    hdr_len = 4 + struct.calcsize("<BBHIQI")
+    if len(frame) < hdr_len:
+        raise ValueError("truncated frame: header")
     if frame[:4] != MAGIC:
         raise ValueError("bad magic")
     version, flags, k, block_size, total_len, n_blocks = struct.unpack_from(
@@ -438,12 +447,20 @@ def _parse_frame(frame: bytes) -> _ParsedFrame:
         raise ValueError(f"unsupported version {version}")
     if flags & ~(FLAG_SHARED | FLAG_CRC):
         raise ValueError(f"unknown frame flags 0x{flags:02x}")
-    off = 4 + struct.calcsize("<BBHIQI")
+    if k < 1 or block_size < 1:
+        raise ValueError("corrupt frame: zero k or block_size")
+    if n_blocks != (total_len + block_size - 1) // block_size:
+        raise ValueError("corrupt frame: block count mismatch")
+    off = hdr_len
     shared = bool(flags & FLAG_SHARED)
     shared_hdr = b""
     if shared:
+        if len(frame) < off + 2:
+            raise ValueError("truncated frame: shared header length")
         (hlen,) = struct.unpack_from("<H", frame, off)
         off += 2
+        if len(frame) < off + hlen:
+            raise ValueError("truncated frame: shared header")
         shared_hdr = frame[off : off + hlen]
         off += hlen
     if len(frame) < off + 4 * n_blocks:

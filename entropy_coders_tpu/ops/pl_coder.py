@@ -392,11 +392,15 @@ def _encode_e2e(blocks, norm_tables, *, k, L, R, W, F, interpret):
     symtf = _fuse_tbl_dev(_pack_symt_dev(tt_bits, tt_fs, L), S_each, F)
     sttf = _fuse_tbl_dev(_rows_dev(tbl.astype(jnp.int32)), S_each, F)
     # lane i codes bytes {i, i+k, ...}: round r, lane i = byte r*k+i; the
-    # kernel consumes rounds in reverse; each lane's LAST byte folds into
-    # the initial state (reference src/fse.rs:210-218)
-    syms_rev = jnp.flip(blocks[:, : R * k].reshape(B, R, k), axis=1)
-    syms_f = (syms_rev.reshape(Bf, F, R, k).transpose(0, 2, 1, 3)
-              .reshape(Bf, R, S, 128))
+    # kernel consumes rounds in reverse (via its grid index map — no
+    # flipped copy); each lane's LAST byte folds into the initial state
+    # (reference src/fse.rs:210-218)
+    syms_nat = blocks[:, : R * k].reshape(B, R, k)
+    if F == 1:
+        syms_f = syms_nat.reshape(Bf, R, S, 128)  # pure reshape, no copy
+    else:
+        syms_f = (syms_nat.reshape(Bf, F, R, k).transpose(0, 2, 1, 3)
+                  .reshape(Bf, R, S, 128))
     initf = blocks[:, R * k :].reshape(Bf, S, 128)
     words, sizes = _encode_call(syms_f, initf, symtf, sttf, S=S, W=W, L=L,
                                 R=R, interpret=interpret)
@@ -676,7 +680,11 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         return blo, bhi
 
     for e in range(E):
-        sym = syms_ref[0, e].astype(jnp.int32)
+        # rounds are consumed in reverse raw order (reference
+        # src/lib.rs:120): the grid walks natural chunks back-to-front
+        # (index map G-1-r) and this loop walks each chunk's rows
+        # back-to-front — no materialized flip of the symbol array.
+        sym = syms_ref[0, E - 1 - e].astype(jnp.int32)
         tb, fs = _sym_transform(sym)
         bits_out = _shr_u(tb + states, 16)
         active = (r * E + e) < R
@@ -723,9 +731,13 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
 
 @functools.partial(jax.jit, static_argnames=("S", "W", "L", "R", "interpret",
                                               "e_rounds"))
-def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
+def _encode_call(syms, init_syms, symt, stt, *, S, W, L, R,
                  interpret=False, e_rounds=None):
-    B = syms_rev.shape[0]
+    """``syms`` is (B, R, S, 128) in NATURAL round order; the kernel
+    consumes rounds in reverse via the grid index map (materializing a
+    flipped copy of the symbol array costs XLA a pathological ~70 s
+    compile on this backend and an extra HBM pass)."""
+    B = syms.shape[0]
     assert W % 8 == 0, "W must be a multiple of 8 (octo-chunk layout)"
     E = e_rounds or _pick_e(L)
     p_refill = _pick_p(E, L)
@@ -733,8 +745,11 @@ def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
     hi_n = max((1 << L) // 128, 1)
     pad_r = G * E - R
     if pad_r:
-        syms_rev = jnp.concatenate(
-            [syms_rev, jnp.zeros((B, pad_r, S, 128), jnp.uint8)], axis=1)
+        # pad at the FRONT so natural chunks align with reversed-order
+        # consumption (padded round q' = q + pad_r; active-round math in
+        # the kernel is unchanged)
+        syms = jnp.concatenate(
+            [jnp.zeros((B, pad_r, S, 128), jnp.uint8), syms], axis=1)
     kern = functools.partial(_encode_kernel, S=S, W=W, L=L, R=R, G=G,
                              hi_n=hi_n, E=E, p_refill=p_refill)
     scr = pltpu.VMEM((S, 128), jnp.int32)
@@ -742,9 +757,9 @@ def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
         kern,
         grid=(B, G),
         in_specs=[
-            # syms_rev round t encodes raw round R-1-t; grid step r reads
-            # tile t in [r*E, (r+1)*E)
-            pl.BlockSpec((1, E, S, 128), lambda b, r: (b, r, 0, 0),
+            # encode step t handles raw round R-1-t; grid step r reads the
+            # natural chunk G-1-r and the kernel walks its rows in reverse
+            pl.BlockSpec((1, E, S, 128), lambda b, r: (b, G - 1 - r, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, 128), lambda b, r: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -769,7 +784,7 @@ def _encode_call(syms_rev, init_syms, symt, stt, *, S, W, L, R,
                         pltpu.VMEM((8, S, 128), jnp.int32)],
         compiler_params=_CP,
         interpret=interpret,
-    )(syms_rev, init_syms, symt, stt)
+    )(syms, init_syms, symt, stt)
     return words, sizes
 
 
@@ -818,8 +833,8 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
         stt += [stt[0]] * pad
     Bp = syms.shape[0]
     Bf, kf, S = Bp // F, F * k, F * k // 128
-    syms_rev = np.ascontiguousarray(
-        syms[:, ::-1].reshape(Bf, F, R, k).transpose(0, 2, 1, 3)
+    syms_nat = np.ascontiguousarray(
+        syms.reshape(Bf, F, R, k).transpose(0, 2, 1, 3)
     ).reshape(Bf, R, S, 128)
     initf = np.ascontiguousarray(init_syms.reshape(Bf, kf))
     symtf = _expand_tbl(symt, k // 128, F)
@@ -835,7 +850,7 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
         call = jax.shard_map(call, mesh=mesh, in_specs=(spec,) * 4,
                              out_specs=(spec, spec), check_vma=False)
     words, sizes = call(
-        jnp.asarray(syms_rev),
+        jnp.asarray(syms_nat),
         jnp.asarray(initf.reshape(Bf, S, 128)),
         jnp.asarray(symtf), jnp.asarray(sttf),
     )

@@ -5,8 +5,6 @@ import pytest
 
 from entropy_coders_tpu.ops.histogram import (
     histogram_blocks,
-    histogram_matmul,
-    histogram_scatter,
 )
 from entropy_coders_tpu.ops.tables import (
     build_decode_table,
@@ -68,10 +66,20 @@ def test_tables_skewed(rng):
 
 
 def test_histogram_kernels(rng):
-    data = rng.integers(0, 256, 1 << 16, dtype=np.uint8)
-    expected = np.bincount(data, minlength=256).astype(np.uint32)
-    np.testing.assert_array_equal(np.asarray(histogram_scatter(data)), expected)
-    np.testing.assert_array_equal(np.asarray(histogram_matmul(data)), expected)
+    """Both backend forms (scatter, eq-scan) agree with numpy on data
+    whose length is and isn't a multiple of 128."""
+    from entropy_coders_tpu.ops.histogram import (_hist_blocks_eqsum,
+                                                  _hist_blocks_scatter,
+                                                  histogram_u8)
+    for n in (1 << 16, 12345):
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+        expected = np.bincount(data, minlength=256).astype(np.uint32)
+        np.testing.assert_array_equal(
+            np.asarray(_hist_blocks_scatter(data[None]))[0], expected)
+        np.testing.assert_array_equal(
+            np.asarray(_hist_blocks_eqsum(data[None]))[0], expected)
+        np.testing.assert_array_equal(np.asarray(histogram_u8(data)),
+                                      expected)
 
 
 def test_histogram_blocks(rng):

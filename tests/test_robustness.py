@@ -47,33 +47,47 @@ def test_bad_version(pl_frame):
 
 
 def test_truncated_frame(pl_frame):
-    import struct
-
     _, comp = pl_frame
-    for cut in (10, len(comp) // 2, len(comp) - 3):
-        with pytest.raises((ValueError, HistError, IndexError, struct.error)):
+    for cut in range(0, len(comp), max(1, len(comp) // 64)):
+        with pytest.raises(ValueError):
             F.decompress(comp[:cut], interpret=True)
 
 
 @pytest.mark.parametrize("which", ["pl", "xla"])
 def test_random_corruption_never_crashes(which, pl_frame, xla_frame):
     """Flip random bytes across the frame; every outcome must be either a
-    clean error or a decode (possibly wrong bytes — no checksum, matching
-    the reference's contract). Nothing may crash the process."""
+    clean ValueError (HistError is a subclass) or a decode of the right
+    length (possibly wrong bytes — no checksum by default, matching the
+    reference's contract). Nothing else may escape: frame-derived
+    invariants raise ValueError, never assert/KeyError/IndexError."""
     data, comp = pl_frame if which == "pl" else xla_frame
     rng = np.random.default_rng(0)
-    for t in range(12):
+    errors = 0
+    for t in range(300):
         bad = bytearray(comp)
-        pos = int(rng.integers(4, len(bad)))
+        pos = int(rng.integers(0, len(bad)))
         bad[pos] ^= int(rng.integers(1, 256))
         try:
             out = F.decompress(bytes(bad), interpret=True)
-            assert isinstance(out, bytes)
-        except (ValueError, HistError, KeyError, IndexError, AssertionError):
+            assert isinstance(out, bytes) and len(out) == len(data)
+        except ValueError:
+            errors += 1
+    assert errors > 0  # sanity: corruption is actually being detected
+
+
+def test_corrupt_headers_fuzz(pl_frame):
+    """Byte flips concentrated in the frame + histogram header region
+    (the most parse-heavy bytes)."""
+    _, comp = pl_frame
+    rng = np.random.default_rng(1)
+    for t in range(200):
+        bad = bytearray(comp)
+        pos = int(rng.integers(0, min(160, len(bad))))
+        bad[pos] ^= int(rng.integers(1, 256))
+        try:
+            F.decompress(bytes(bad), interpret=True)
+        except ValueError:
             pass
-        except Exception as e:  # struct.error etc.
-            import struct
-            assert isinstance(e, struct.error), type(e)
 
 
 def test_lane_sizes_tampered(pl_frame):
