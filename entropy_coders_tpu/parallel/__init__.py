@@ -1,5 +1,6 @@
 """Multi-chip / multi-host parallelism (jax.sharding over device meshes)."""
 
+from . import multihost
 from .sharding import (block_sharding, compress, decompress, default_mesh,
                        init_distributed, sharded_histogram)
 
@@ -9,5 +10,6 @@ __all__ = [
     "decompress",
     "default_mesh",
     "init_distributed",
+    "multihost",
     "sharded_histogram",
 ]

@@ -69,28 +69,10 @@ def sharded_histogram(blocks, mesh: Mesh):
 
 def init_distributed(coordinator_address: str | None = None,
                      num_processes: int | None = None,
-                     process_id: int | None = None) -> None:
-    """Initialize the multi-host runtime (one JAX process per host).
+                     process_id: int | None = None, **kwargs) -> None:
+    """Initialize the multi-host runtime — see ``parallel.multihost``
+    for the full per-host compress/assemble/decompress pipeline (tested
+    with two real JAX processes in tests/test_multihost.py)."""
+    from .multihost import init_distributed as _init
 
-    On a real pod slice, call this once per host before building meshes:
-    the global mesh then spans all hosts' devices and the same
-    ``compress/decompress`` calls below scale across DCN — the block axis
-    shards over every chip in the slice, shared-table histograms
-    all-reduce over ICI within hosts and DCN across them, and the host
-    gather of compressed sections happens process-locally (each host
-    assembles only the blocks it owns via
-    ``jax.experimental.multihost_utils`` when a single frame is needed).
-
-    No-op when JAX distributed is already initialized (or when running
-    single-process, e.g. tests and this sandbox's single-chip setup).
-    """
-    import jax
-
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-        )
-    except RuntimeError:
-        pass  # already initialized / single-process environments
+    _init(coordinator_address, num_processes, process_id, **kwargs)

@@ -1,0 +1,53 @@
+"""Worker for tests/test_multihost.py — one real JAX process per "host".
+
+Usage: python multihost_worker.py <port> <num_processes> <process_id>
+Prints `OK <sha256-of-global-frame>` on success."""
+
+import hashlib
+import sys
+
+import jax
+
+# this sandbox's TPU plugin overrides JAX_PLATFORMS; the config update is
+# authoritative (same pattern as tests/conftest.py)
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+from entropy_coders_tpu import frame as F  # noqa: E402
+from entropy_coders_tpu.parallel import multihost as MH  # noqa: E402
+from tests.conftest import gen_sequence  # noqa: E402
+
+
+def main():
+    port, num, pid = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    MH.init_distributed(f"127.0.0.1:{port}", num_processes=num,
+                        process_id=pid, cpu_collectives="gloo")
+    assert jax.process_count() == num
+
+    data = gen_sequence(0.2, 5 * 4096 + 321)  # 6 blocks over 2 hosts
+    kwargs = dict(block_size=4096, k=128, lanes=True, interpret=True,
+                  checksum=True)
+
+    global_frame = MH.compress(data, **kwargs)
+    # every host must hold the byte-identical frame a single process makes
+    single = F.compress(data, **kwargs)
+    assert global_frame == single, "multihost frame != single-process frame"
+
+    # assembled decompress on every host
+    out = MH.decompress(global_frame, interpret=True)
+    assert out == data.tobytes()
+
+    # host-sharded decompress (no assembly): exactly the owned byte range
+    start, local = MH.decompress(global_frame, assemble=False,
+                                 interpret=True)
+    lo, hi = MH.owned_blocks(6)
+    assert start == lo * 4096
+    assert local == data.tobytes()[start:min(hi * 4096, len(data))]
+
+    print("OK", hashlib.sha256(global_frame).hexdigest(), flush=True)
+
+
+if __name__ == "__main__":
+    main()

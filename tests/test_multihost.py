@@ -1,0 +1,49 @@
+"""Multi-host runtime test: two REAL JAX processes (CPU backend, gloo
+collectives) compress/decompress through parallel.multihost and must
+produce the byte-identical frame a single process makes.
+
+This exercises the actual jax.distributed + multihost_utils code path —
+not a simulation — covering: per-process owned-block compression, the
+two-round DCN byte allgather, ordered frame assembly, assembled and
+host-sharded decompression."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+WORKER = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_roundtrip():
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers use 1 CPU device each
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen([sys.executable, WORKER, str(port), "2", str(i)],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         env=env, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    hashes = {line.split()[1] for o in outs for line in o.splitlines()
+              if line.startswith("OK")}
+    assert len(hashes) == 1, f"hosts disagree on the frame: {outs}"
