@@ -35,6 +35,7 @@ MAGIC = b"FSET"
 VERSION = 2
 FLAG_SHARED = 1
 FLAG_CRC = 2  # per-block crc32 table present (integrity checking)
+FLAG_PACKED = 4  # MODE_FSE_PL lane streams bit-packed (no dead bits)
 
 MODE_FSE = 0
 MODE_RAW = 1
@@ -132,6 +133,7 @@ def compress(
     lanes: bool | None = None,
     interpret: bool = False,
     checksum: bool = False,
+    bit_pack: bool = False,
 ) -> bytes:
     """Compress ``data`` into a TPU container frame (FORMAT.md).
 
@@ -141,7 +143,12 @@ def compress(
     TABLE_LOG_DEFAULT otherwise. ``interpret`` runs the Pallas kernels in
     interpreter mode (for CPU testing). ``checksum`` appends a per-block
     crc32 table, verified on decompress (the reference format has no
-    integrity checking — corruption decodes to garbage silently)."""
+    integrity checking — corruption decodes to garbage silently).
+    ``bit_pack`` (FLAG_PACKED) packs MODE_FSE_PL lane streams at bit
+    granularity like the reference's single stream (reference:
+    src/bitstream/writer.rs:177-222), recovering the <= 7 dead bits each
+    byte-aligned lane otherwise carries, at the cost of a slower host
+    repack."""
     if lanes is None:
         lanes = jax.default_backend() == "tpu"
     if table_log is None:
@@ -151,7 +158,8 @@ def compress(
         raise ValueError("block_size must be >= 16")
     total_len = len(data)
     if total_len == 0:
-        return _frame_header(0, k, block_size, 0, False, checksum) + b""
+        return _frame_header(0, k, block_size, 0, False, checksum,
+                             bit_pack) + b""
     n_blocks = _cdiv(total_len, block_size)
 
     full = total_len // block_size
@@ -197,6 +205,7 @@ def compress(
                 norm_tables, log2_arr, k,
                 shared_table, sections, modes, codable,
                 sharding=sharding, lanes=lanes, interpret=interpret,
+                bit_pack=bit_pack,
                 blocks_dev=(blocks_dev if all_rows or blocks_dev is None
                             else blocks_dev[codable]),
             )
@@ -205,7 +214,7 @@ def compress(
         tail = data[full * block_size :]
         _encode_tail(tail, k, table_log, shared_table, s_shared,
                      sections, modes, n_blocks - 1,
-                     lanes=lanes, interpret=interpret)
+                     lanes=lanes, interpret=interpret, bit_pack=bit_pack)
 
     # RAW/RLE escapes where FSE did not win. Constant-block detection for
     # full blocks comes free from the device histogram (nsym == 1).
@@ -225,7 +234,7 @@ def compress(
             sections[i] = bytes([int(data[o])])
 
     parts = [_frame_header(total_len, k, block_size, n_blocks,
-                           shared_table, checksum)]
+                           shared_table, checksum, bit_pack)]
     if shared_table:
         parts.append(struct.pack("<H", len(shared_hdr)) + shared_hdr)
     entries = (modes.astype(np.uint32) << 30) | np.array(
@@ -288,8 +297,9 @@ def _read_block_header(sec: bytes):
 
 
 def _frame_header(total_len, k, block_size, n_blocks, shared,
-                  crc=False) -> bytes:
-    flags = (FLAG_SHARED if shared else 0) | (FLAG_CRC if crc else 0)
+                  crc=False, packed=False) -> bytes:
+    flags = ((FLAG_SHARED if shared else 0) | (FLAG_CRC if crc else 0)
+             | (FLAG_PACKED if packed else 0))
     return (
         MAGIC
         + struct.pack("<BBHIQI", VERSION, flags,
@@ -299,7 +309,7 @@ def _frame_header(total_len, k, block_size, n_blocks, shared,
 
 def _encode_group_pl(blocks_src, norm_tables, l2, k, shared_table,
                      sections, modes, block_ids, interpret=False,
-                     sharding=None):
+                     sharding=None, bit_pack=False):
     """Per-lane-stream (MODE_FSE_PL) batched encode of equal-size blocks
     sharing one table log2, on the Pallas TPU kernels (ops.pl_coder).
     ``blocks_src`` may be a host or device (B, n) uint8 array; table
@@ -313,8 +323,9 @@ def _encode_group_pl(blocks_src, norm_tables, l2, k, shared_table,
     words, sizes = PL.encode_lanes_norm(blocks_src, norm_tables, k=k,
                                         L=int(l2), W=W,
                                         interpret=interpret, mesh=mesh)
+    merge = PL.lane_merge_bits if bit_pack else PL.lane_merge
     for j in range(B):
-        payload = PL.lane_merge(words[j], sizes[j])
+        payload = merge(words[j], sizes[j])
         sec = sizes[j].astype("<u2").tobytes() + payload
         if not shared_table:
             sec = _write_header(norm_tables[j], int(l2)) + sec
@@ -324,7 +335,7 @@ def _encode_group_pl(blocks_src, norm_tables, l2, k, shared_table,
 
 def _encode_group(blocks, norm_tables, log2_arr, k, shared_table,
                   sections, modes, block_ids, sharding=None, lanes=False,
-                  interpret=False, blocks_dev=None):
+                  interpret=False, blocks_dev=None, bit_pack=False):
     """Batched encode of equal-size blocks, grouped by effective log2.
 
     With ``sharding`` (a NamedSharding over the block axis), inputs are
@@ -345,7 +356,8 @@ def _encode_group(blocks, norm_tables, log2_arr, k, shared_table,
                 src = src[rows]
             _encode_group_pl(src, norm_tables[rows], int(l2), k,
                              shared_table, sections, modes, block_ids[rows],
-                             interpret=interpret, sharding=sharding)
+                             interpret=interpret, sharding=sharding,
+                             bit_pack=bit_pack)
             continue
         if layout is None:
             m, R, valid, finish_slots, W = _encode_layout(n, k)
@@ -380,7 +392,7 @@ def _encode_group(blocks, norm_tables, log2_arr, k, shared_table,
 
 
 def _encode_tail(tail, k, table_log, shared_table, s_shared, sections,
-                 modes, idx, lanes=False, interpret=False):
+                 modes, idx, lanes=False, interpret=False, bit_pack=False):
     """Encode the ragged last block. Takes the per-lane Pallas path when
     the tail happens to be lane-divisible (same eligibility as full
     blocks), the shared-stream path otherwise. ``s_shared`` is the
@@ -402,7 +414,7 @@ def _encode_tail(tail, k, table_log, shared_table, s_shared, sections,
         tmp_modes = np.full(1, MODE_FSE, np.int32)
         _encode_group(tail[None, :], norm_tables, log2_arr, k_t,
                       shared_table, tmp_sections, tmp_modes, np.array([0]),
-                      lanes=lanes, interpret=interpret)
+                      lanes=lanes, interpret=interpret, bit_pack=bit_pack)
         sections[idx] = tmp_sections[0]
         modes[idx] = tmp_modes[0]
     except ValueError:
@@ -426,6 +438,7 @@ class _ParsedFrame:
     offs: np.ndarray  # absolute offset of each block section in the frame
     frame: bytes
     crcs: np.ndarray | None = None
+    packed: bool = False
 
     def section(self, i: int) -> bytes:
         """Materialize block i's section bytes (lazy — a range decode of a
@@ -445,7 +458,7 @@ def _parse_frame(frame: bytes) -> _ParsedFrame:
     )
     if version != VERSION:
         raise ValueError(f"unsupported version {version}")
-    if flags & ~(FLAG_SHARED | FLAG_CRC):
+    if flags & ~(FLAG_SHARED | FLAG_CRC | FLAG_PACKED):
         raise ValueError(f"unknown frame flags 0x{flags:02x}")
     if k < 1 or block_size < 1:
         raise ValueError("corrupt frame: zero k or block_size")
@@ -481,7 +494,8 @@ def _parse_frame(frame: bytes) -> _ParsedFrame:
     if n_blocks and len(frame) < off + int(lens.sum()):
         raise ValueError("truncated frame: sections")
     return _ParsedFrame(k, block_size, total_len, n_blocks, shared,
-                        shared_hdr, modes, lens, offs, frame, crcs)
+                        shared_hdr, modes, lens, offs, frame, crcs,
+                        bool(flags & FLAG_PACKED))
 
 
 def decompress(frame: bytes, *, sharding=None, interpret: bool = False,
@@ -578,7 +592,21 @@ def _decode_group_pl(items, raw_len, log2, pf, out, out_base,
         if len(sec) < 2 * k:
             raise ValueError(f"block {i}: truncated lane sizes")
         sz = np.frombuffer(sec[: 2 * k], "<u2").astype(np.int32)
-        if (sz < log2).any() or int(((sz + 7) >> 3).sum()) != len(sec) - 2 * k:
+        if (sz < log2).any():
+            raise ValueError(f"block {i}: bad lane sizes")
+        if pf.packed:
+            # bit-packed wire (FLAG_PACKED): total bits, last dead bits 0
+            total = int(sz.astype(np.int64).sum())
+            if (total + 7) // 8 != len(sec) - 2 * k:
+                raise ValueError(f"block {i}: bad lane sizes")
+            if total & 7 and sec[-1] >> (total & 7):
+                raise ValueError(f"block {i}: lane framing error")
+            sizes[j] = sz
+            w, Wb = PL.lane_split_bits(sec[2 * k:], sz, k)
+            words_list.append(w)
+            norm_tables[j] = nt
+            continue
+        if int(((sz + 7) >> 3).sum()) != len(sec) - 2 * k:
             raise ValueError(f"block {i}: bad lane sizes")
         # framing check (the marker-bit rule's per-lane analog, reference
         # src/bitstream/stack_reader.rs:81-83): the dead bits above each

@@ -64,6 +64,16 @@ def _load():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_void_p,
         ]
+        lib.ect_lane_merge_bits.restype = ctypes.c_int64
+        lib.ect_lane_merge_bits.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.ect_lane_split_bits.restype = ctypes.c_int64
+        lib.ect_lane_split_bits.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception as e:  # toolchain missing etc. — soft-fail
         _load_error = str(e)
@@ -180,3 +190,38 @@ def lane_merge(words: np.ndarray, sizes_bits: np.ndarray) -> bytes:
                            sizes.ctypes.data_as(ctypes.c_void_p), out)
     assert n == total
     return out.raw
+
+
+def lane_merge_bits(words: np.ndarray, sizes_bits: np.ndarray) -> bytes:
+    """Bit-packed lane merge (frame FLAG_PACKED): concatenates the lane
+    streams at bit granularity — total ceil(sum(bits)/8) bytes."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    words = np.ascontiguousarray(words, np.uint32)
+    W, k = words.shape
+    sizes = np.ascontiguousarray(sizes_bits, np.int32)
+    total = int((int(sizes.astype(np.int64).sum()) + 7) // 8)
+    out = ctypes.create_string_buffer(total + 8)  # RMW slack
+    n = lib.ect_lane_merge_bits(words.ctypes.data_as(ctypes.c_void_p), W, k,
+                                sizes.ctypes.data_as(ctypes.c_void_p), out)
+    assert n == total
+    return out.raw[:total]
+
+
+def lane_split_bits(payload: bytes, sizes_bits: np.ndarray, k: int,
+                    W: int) -> np.ndarray:
+    """Inverse of lane_merge_bits into the padded (W, k) uint32 layout."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    sizes = np.ascontiguousarray(sizes_bits, np.int32)
+    assert sizes.shape == (k,)
+    out = np.zeros((W, k), np.uint32)
+    buf = payload + b"\0" * 8  # read slack
+    n = lib.ect_lane_split_bits(buf, len(payload),
+                                sizes.ctypes.data_as(ctypes.c_void_p), k, W,
+                                out.ctypes.data_as(ctypes.c_void_p))
+    if n < 0:
+        raise ValueError("packed lane payload too short")
+    return out

@@ -665,4 +665,79 @@ int64_t ect_lane_merge(const uint32_t* words, int32_t W, int32_t k,
   return (int64_t)off;
 }
 
+// ----------------------------------------------- bit-packed wire mode
+// (frame FLAG_PACKED): lane streams concatenate at BIT granularity,
+// recovering the <= 7 dead bits each byte-aligned lane stream carries
+// (the reference's payloads are bit-packed end to end, reference:
+// src/bitstream/writer.rs:177-222). Little-endian unaligned 64-bit
+// read-modify-writes; callers provide 8 bytes of slack past the end.
+
+static inline void or_bits64(uint8_t* out, uint64_t bitpos, uint64_t val) {
+  // OR up to 57 significant bits of val into the stream at bitpos
+  uint64_t cur;
+  std::memcpy(&cur, out + (bitpos >> 3), 8);
+  cur |= val << (bitpos & 7);
+  std::memcpy(out + (bitpos >> 3), &cur, 8);
+}
+
+static inline uint32_t get_bits32(const uint8_t* p, uint64_t bitpos,
+                                  int nbits) {
+  uint64_t cur;
+  std::memcpy(&cur, p + (bitpos >> 3), 8);
+  cur >>= (bitpos & 7);
+  uint64_t mask = nbits >= 64 ? ~0ull : ((1ull << nbits) - 1);
+  return (uint32_t)(cur & mask);
+}
+
+// Pack the padded (W, k) u32 array into a bit-packed payload of
+// sum(sizes) bits. `out` must be zeroed, with capacity
+// ceil(total/8) + 8 slack bytes. Dead bits above each lane's top bit
+// must already be zero in `words` (the kernels guarantee this).
+// Returns payload bytes written (excluding slack).
+int64_t ect_lane_merge_bits(const uint32_t* words, int32_t W, int32_t k,
+                            const int32_t* sizes_bits, uint8_t* out) {
+  std::vector<uint32_t> tmp((size_t)k * W);
+  transpose_u32(words, tmp.data(), W, k);
+  uint64_t bitoff = 0;
+  for (int32_t i = 0; i < k; i++) {
+    const uint32_t* src = &tmp[(size_t)i * W];
+    int64_t nbits = sizes_bits[i];
+    int64_t w = 0;
+    for (; nbits >= 32; nbits -= 32, w++, bitoff += 32)
+      or_bits64(out, bitoff, src[w]);
+    if (nbits > 0) {
+      or_bits64(out, bitoff, src[w] & ((1u << nbits) - 1));
+      bitoff += (uint64_t)nbits;
+    }
+  }
+  return (int64_t)((bitoff + 7) / 8);
+}
+
+// Inverse: extract each lane's sizes[i] bits from the packed payload
+// into the (W, k) u32 layout. `payload` needs 8 slack bytes past plen.
+// Returns total payload bytes consumed, or -1 if the sizes overrun it.
+int64_t ect_lane_split_bits(const uint8_t* payload, size_t plen,
+                            const int32_t* sizes_bits, int32_t k,
+                            int32_t W, uint32_t* out) {
+  uint64_t total = 0;
+  for (int32_t i = 0; i < k; i++) total += (uint64_t)sizes_bits[i];
+  if ((total + 7) / 8 > plen) return -1;
+  std::vector<uint32_t> tmp((size_t)k * W, 0);
+  uint64_t bitoff = 0;
+  for (int32_t i = 0; i < k; i++) {
+    uint32_t* dst = &tmp[(size_t)i * W];
+    int64_t nbits = sizes_bits[i];
+    if ((nbits + 31) / 32 > W) return -1;
+    int64_t w = 0;
+    for (; nbits >= 32; nbits -= 32, w++, bitoff += 32)
+      dst[w] = get_bits32(payload, bitoff, 32);
+    if (nbits > 0) {
+      dst[w] = get_bits32(payload, bitoff, (int)nbits);
+      bitoff += (uint64_t)nbits;
+    }
+  }
+  transpose_u32(tmp.data(), out, k, W);
+  return (int64_t)((bitoff + 7) / 8);
+}
+
 }  // extern "C"

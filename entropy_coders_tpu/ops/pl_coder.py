@@ -52,6 +52,8 @@ __all__ = [
     "encode_w_bound",
     "lane_split",
     "lane_merge",
+    "lane_split_bits",
+    "lane_merge_bits",
 ]
 
 # Default rounds per grid step. The register-window bit I/O guarantees one
@@ -914,3 +916,47 @@ def lane_merge(words: np.ndarray, sizes_bits: np.ndarray) -> bytes:
     lane_bytes = np.ascontiguousarray(words.T).view(np.uint8).reshape(k, W * 4)
     mask = np.arange(W * 4)[None, :] < nbytes[:, None]
     return lane_bytes[mask].tobytes()
+
+
+def lane_merge_bits(words: np.ndarray, sizes_bits: np.ndarray) -> bytes:
+    """Bit-packed lane merge (frame FLAG_PACKED): lane streams concatenate
+    at BIT granularity, recovering the <= 7 dead bits per lane the
+    byte-aligned wire carries (the reference's payloads are bit-packed end
+    to end, reference: src/bitstream/writer.rs:177-222). C++ native when
+    available; Python-int fallback otherwise (tests)."""
+    W, k = words.shape
+    sizes_bits = np.asarray(sizes_bits, np.int64)
+    from .. import native
+    if native.available():
+        return native.lane_merge_bits(words, sizes_bits)
+    cols = np.ascontiguousarray(np.asarray(words, np.uint32).T)  # (k, W)
+    acc, off = 0, 0
+    for i in range(k):
+        n = int(sizes_bits[i])
+        v = int.from_bytes(cols[i].tobytes(), "little") & ((1 << n) - 1)
+        acc |= v << off
+        off += n
+    return acc.to_bytes((off + 7) // 8, "little")
+
+
+def lane_split_bits(payload: bytes, sizes_bits: np.ndarray, k: int):
+    """Inverse of lane_merge_bits into the padded (W, k) uint32 kernel
+    layout. Returns (words (W, k) uint32, W)."""
+    sizes_bits = np.asarray(sizes_bits, np.int64)
+    assert sizes_bits.shape == (k,)
+    W = int((int(sizes_bits.max()) + 31) // 32) + 2
+    if (int(sizes_bits.sum()) + 7) // 8 > len(payload):
+        raise ValueError("packed lane payload too short")
+    from .. import native
+    if native.available():
+        return native.lane_split_bits(bytes(payload), sizes_bits, k, W), W
+    acc = int.from_bytes(payload, "little")
+    cols = np.zeros((k, W), np.uint32)
+    off = 0
+    for i in range(k):
+        n = int(sizes_bits[i])
+        v = (acc >> off) & ((1 << n) - 1)
+        b = v.to_bytes((n + 31) // 32 * 4, "little")
+        cols[i, : len(b) // 4] = np.frombuffer(b, np.uint32)
+        off += n
+    return np.ascontiguousarray(cols.T), W

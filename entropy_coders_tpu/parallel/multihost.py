@@ -24,8 +24,6 @@ decompress and asserts the frame is byte-identical to a single-process
 
 from __future__ import annotations
 
-import struct
-
 import jax
 import numpy as np
 
@@ -108,11 +106,12 @@ def compress(data, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
     local_frame = F.compress(local, block_size=block_size, k=k,
                              checksum=checksum, sharding=sharding, **kwargs)
     frames = _allgather_bytes(local_frame)
-    return _merge_frames(frames, total_len, block_size, k, checksum)
+    return _merge_frames(frames, total_len, block_size, k, checksum,
+                         bool(kwargs.get("bit_pack", False)))
 
 
 def _merge_frames(frames: list[bytes], total_len: int, block_size: int,
-                  k: int, checksum: bool) -> bytes:
+                  k: int, checksum: bool, packed: bool = False) -> bytes:
     """Concatenate per-host sub-frames (contiguous block ranges, same
     block_size/k) into one global frame. Every host runs this on the
     same gathered inputs, so every host holds the identical frame."""
@@ -122,7 +121,8 @@ def _merge_frames(frames: list[bytes], total_len: int, block_size: int,
         pf = F._parse_frame(sub)
         if pf.n_blocks == 0:
             continue
-        if pf.block_size != block_size or pf.k != k or pf.shared:
+        if (pf.block_size != block_size or pf.k != k or pf.shared
+                or pf.packed != packed):
             raise ValueError("multihost merge: sub-frame layout mismatch")
         entries.append((pf.modes.astype(np.uint32) << 30)
                        | pf.lens.astype(np.uint32))
@@ -136,7 +136,7 @@ def _merge_frames(frames: list[bytes], total_len: int, block_size: int,
     if n_blocks != (total_len + block_size - 1) // block_size:
         raise ValueError("multihost merge: block count mismatch")
     parts = [F._frame_header(total_len, k, block_size, n_blocks, False,
-                             checksum)]
+                             checksum, packed)]
     if entries:
         parts.append(np.concatenate(entries).astype("<u4").tobytes())
     if checksum and crcs:

@@ -177,6 +177,51 @@ def test_corrupt_stream_raises():
                         interpret=True)
 
 
+def test_lane_bits_split_merge_roundtrip():
+    """Bit-packed repack (FLAG_PACKED wire): native C++ and the Python
+    fallback agree and invert each other; packed payload is exactly
+    ceil(sum(bits)/8) bytes."""
+    from entropy_coders_tpu import native
+    rng = np.random.default_rng(2)
+    k = 256
+    sizes = rng.integers(9, 200, k).astype(np.int64)
+    W = int((int(sizes.max()) + 31) // 32) + 2
+    words = rng.integers(0, 1 << 32, (W, k), dtype=np.uint64).astype(np.uint32)
+    # zero dead bits above each lane's size (kernel invariant)
+    lane_mask = np.zeros((W, k), np.uint64)
+    for w in range(W):
+        rem = np.clip(sizes - w * 32, 0, 32)
+        lane_mask[w] = (np.uint64(1) << rem.astype(np.uint64)) - np.uint64(1)
+    words &= lane_mask.astype(np.uint32)
+    packed = PL.lane_merge_bits(words, sizes)
+    assert len(packed) == (int(sizes.sum()) + 7) // 8
+    back, Wb = PL.lane_split_bits(packed, sizes, k)
+    assert (back[:W] == words).all() and not back[W:].any()
+    # pure-Python fallback must agree with whatever produced `packed`
+    import unittest.mock as mock
+    with mock.patch.object(native, "available", lambda: False):
+        assert PL.lane_merge_bits(words, sizes) == packed
+        back2, _ = PL.lane_split_bits(packed, sizes, k)
+        assert (back2[:W] == words).all()
+
+
+def test_frame_bit_packed_roundtrip():
+    """FLAG_PACKED frames round-trip and are strictly smaller than the
+    byte-aligned wire (k dead-bit bytes recovered per block)."""
+    from entropy_coders_tpu import frame as F
+    rng = np.random.default_rng(17)
+    data = geo(rng, 3 * 4096 + 777)
+    plain = F.compress(data, block_size=4096, k=256, lanes=True,
+                       interpret=True)
+    packed = F.compress(data, block_size=4096, k=256, lanes=True,
+                        interpret=True, bit_pack=True)
+    assert F._parse_frame(packed).packed
+    assert F.decompress(packed, interpret=True) == data.tobytes()
+    assert len(packed) < len(plain)
+    # recovers most of the <= 7 dead bits per lane: ~3.5 avg * k per block
+    assert len(plain) - len(packed) > 3 * 256 * 3 // 8
+
+
 def test_lane_split_merge_roundtrip():
     rng = np.random.default_rng(0)
     k = 256
