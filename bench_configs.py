@@ -87,21 +87,22 @@ def _device_decode_gbps(comp: bytes, block_size: int, k: int) -> float:
     idx = [j for j in range(pf.n_blocks) if pf.modes[j] == F.MODE_FSE_PL]
     B = len(idx)
     shared_norm = NormHistogram.read(pf.shared_hdr)[0] if pf.shared else None
-    sizes = np.zeros((B, k), np.int32)
-    words_list, tbls, L = [], [], None
-    for jj, j in enumerate(idx):
+    sizes_list, words_list, tbls, L = [], [], [], None
+    for j in idx:
         if pf.shared:
-            norm, sec = shared_norm, pf.sections[j]
+            norm, sec = shared_norm, pf.section(j)
         else:
-            norm, sec = NormHistogram.read(pf.sections[j])
+            norm, sec = NormHistogram.read(pf.section(j))
         if L is None:
             L = norm.log2
-        if norm.log2 != L:
+        if norm.log2 != L:  # rare odd-log2 block: keep rows in lockstep
             continue
-        sizes[jj] = np.frombuffer(sec[: 2 * k], "<u2")
-        w, _ = PL.lane_split(sec[2 * k:], sizes[jj], k)
+        sz = np.frombuffer(sec[: 2 * k], "<u2").astype(np.int32)
+        w, _ = PL.lane_split(sec[2 * k:], sz, k)
+        sizes_list.append(sz)
         words_list.append(w)
         tbls.append(PL._table_rows(DecodeTable(norm).packed))
+    sizes = np.stack(sizes_list)
     B = len(words_list)
     W = -(-max(w.shape[0] for w in words_list) // 16) * 16
     # fuse small-k blocks into superblocks exactly as decode_lanes does

@@ -32,6 +32,9 @@ def main(argv=None) -> int:
     c.add_argument("--shared-table", action="store_true")
     c.add_argument("--no-lanes", action="store_true")
     c.add_argument("--checksum", action="store_true")
+    c.add_argument("--bit-pack", action="store_true",
+                   help="bit-pack lane streams (FLAG_PACKED; smaller, "
+                        "slower host repack)")
 
     d = sub.add_parser("decompress")
     d.add_argument("infile")
@@ -41,6 +44,13 @@ def main(argv=None) -> int:
     s.add_argument("infile")
 
     args = p.parse_args(argv)
+
+    import os
+    plat = os.environ.get("ECT_PLATFORM")
+    if plat:  # authoritative backend override (some environments pin
+        # JAX_PLATFORMS via plugin hooks that ignore the env var)
+        import jax
+        jax.config.update("jax_platforms", plat)
 
     from . import frame as F
 
@@ -59,6 +69,8 @@ def main(argv=None) -> int:
             kw["lanes"] = False
         if args.checksum:
             kw["checksum"] = True
+        if args.bit_pack:
+            kw["bit_pack"] = True
         t0 = time.perf_counter()
         comp = F.compress(data, **kw)
         dt = time.perf_counter() - t0

@@ -61,11 +61,12 @@ def test_cli_roundtrip(tmp_path):
     fc = tmp_path / "c.fset"
     fout = tmp_path / "out.bin"
     fin.write_bytes(data)
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", ECT_PLATFORM="cpu")
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     r = subprocess.run(
         [sys.executable, "-m", "entropy_coders_tpu", "compress", str(fin),
-         str(fc), "--block-size", "8192", "--k", "64", "--no-lanes"],
+         str(fc), "--block-size", "8192", "--k", "64", "--no-lanes",
+         "--bit-pack"],
         cwd=root, env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-500:]
     r = subprocess.run(
