@@ -231,13 +231,16 @@ def config4(on_tpu: bool):
 
 
 def config5():
-    """Multi-host pipeline: not runnable here (single host, single chip).
-    The multi-host design (jax.distributed + the same shard_map path over
-    a multi-host mesh) is exercised structurally by the virtual-device
-    tests; recorded as not-runnable."""
+    """Multi-host pipeline: the pod itself is not available here (single
+    host, single chip), but the pipeline (parallel.multihost: per-host
+    owned-block compress, DCN allgather, ordered assembly, per-host range
+    decode) runs for REAL as two JAX processes over gloo in
+    tests/test_multihost.py, producing the byte-identical frame a single
+    process makes."""
     return {"config": 5, "workload": "Silesia+enwik9, multi-host v5e-16",
-            "status": "environment lacks multi-host pod; shard_map path "
-                      "validated on virtual mesh (tests, dryrun)"}
+            "status": "pod unavailable in this sandbox; multi-host "
+                      "pipeline itself runs as 2 real JAX processes "
+                      "(tests/test_multihost.py, parallel.multihost)"}
 
 
 def main():
