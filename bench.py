@@ -124,7 +124,7 @@ def main():
     # so the fixed ~40 ms sync RPC cost of this sandbox cancels out.
     # Repeated over several measurement batches; the reported number is
     # the MEDIAN marginal estimate (reproducible against host jitter).
-    n, batches = 6, 5
+    n, batches = 16, 5  # n*kernel_time must dwarf the ~40 ms sync RPC
     estimates = []
     for _ in range(batches):
         t0 = time.perf_counter()

@@ -136,14 +136,15 @@ def _gather_rows(tbl, idx, hi_n, S):
     return acc
 
 
-def _fetch_chunk(words8, b, S):
+def _fetch_chunk(words8, b, S, qbase=0):
     """Fetch the 8 consecutive rows [b, b+8) of each lane's word column in
     ONE pass over the stream array. ``words8`` is the (W/8, 8, S, 128)
-    view; ``b`` is the per-lane base row. Returns ch, a list of 8 (S,128)
+    view (or a (QW, 8, S, 128) window of it starting at q-row ``qbase``);
+    ``b`` is the per-lane base row. Returns ch, a list of 8 (S,128)
     arrays where ch[j] holds the row congruent to j mod 8 (i.e. row
-    b + ((j - b) & 7)); negative rows read as zero."""
+    b + ((j - b) & 7)); rows outside the view read as zero."""
     W8 = words8.shape[0]
-    qrows = lax.broadcasted_iota(jnp.int32, (W8, S, 128), 0)
+    qrows = lax.broadcasted_iota(jnp.int32, (W8, S, 128), 0) + qbase
     ch = []
     for j in range(8):
         rj = b + ((j - b) & 7)
@@ -151,6 +152,28 @@ def _fetch_chunk(words8, b, S):
         ch.append(jnp.sum(
             jnp.where(qrows == qj[None], words8[:, j], 0), axis=0))
     return ch
+
+
+# Windowed refill/dump: per-lane chunk rows [b, b+8) span at most 2
+# q-rows per lane, and lane cursors diverge slowly (bits/symbol variance
+# accumulates ~sqrt(R)), so at refill time the whole fleet's rows almost
+# always fit a few q-rows. Reading/writing only a dynamically-sliced
+# REFILL_QW-q-row window instead of all W/8 cuts the dominant refill
+# traffic (the full scan costs W*S*128*4 bytes every P_REFILL grid
+# steps); a full-scan fallback handles the rare wide-spread refill, so
+# correctness never depends on the divergence bound.
+REFILL_QW = 4
+
+
+def _chunk_window(b, W8, QW):
+    """(start q-row s, wide?) for a window covering every lane's chunk
+    rows [b, b+8): wide means the spread does not fit QW q-rows and the
+    caller must fall back to the full scan."""
+    qlo = b >> 3
+    qhi = (b + 7) >> 3
+    mn0 = jnp.maximum(jnp.min(qlo), 0)  # negative rows read as zero
+    wide = (jnp.max(qhi) - mn0) >= QW
+    return jnp.clip(mn0, 0, W8 - QW), wide
 
 
 def _chunk_select(ch, row):
@@ -191,8 +214,10 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
                    state_s, cur_s, wb_s, blo_s, bhi_s, ch_s,
                    *, S, W, L, R, G, hi_n, E, p_refill):
     r = pl.program_id(1)
-    words8 = words_ref[0].reshape(W // 8, 8, S, 128)
     tbl = tbl_ref[0]
+
+    def words8():
+        return words_ref[0].reshape(W // 8, 8, S, 128)
 
     @pl.when(r == 0)
     def _init_cursors():
@@ -203,9 +228,27 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
     @pl.when(r % p_refill == 0)
     def _refetch():
         # re-center the chunk on the current window: rows [wb-6, wb+2)
-        ch = _fetch_chunk(words8, wb_s[:] - 6, S)
-        for j in range(8):
-            ch_s[j] = ch[j]
+        b = wb_s[:] - 6
+        if W // 8 > REFILL_QW:
+            s, wide = _chunk_window(b, W // 8, REFILL_QW)
+
+            @pl.when(jnp.logical_not(wide))
+            def _narrow():
+                sl = words_ref[0, pl.ds(s * 8, REFILL_QW * 8)].reshape(
+                    REFILL_QW, 8, S, 128)
+                ch = _fetch_chunk(sl, b, S, qbase=s)
+                for j in range(8):
+                    ch_s[j] = ch[j]
+
+            @pl.when(wide)
+            def _wide():
+                ch = _fetch_chunk(words8(), b, S)
+                for j in range(8):
+                    ch_s[j] = ch[j]
+        else:
+            ch = _fetch_chunk(words8(), b, S)
+            for j in range(8):
+                ch_s[j] = ch[j]
 
     @pl.when(r == 0)
     def _init_window():
@@ -610,12 +653,13 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
             fs = (va & 0x3FFFF) - (1 << 17)
         return lax.shift_left(mb, 16) - msp, fs
 
-    def _dump(words8, b, upto):
+    def _dump(words8, b, upto, qbase=0):
         """Add chunk registers holding rows [b, upto) into the output
         array (one pass: residue-j rows ride the j-slice), returning the
-        cleared registers. Bit ranges are disjoint, so add is exact."""
-        W8 = W // 8
-        qrows = lax.broadcasted_iota(jnp.int32, (W8, S, 128), 0)
+        cleared registers. Bit ranges are disjoint, so add is exact.
+        ``words8`` may be a window starting at q-row ``qbase``."""
+        W8v = words8.shape[0]
+        qrows = lax.broadcasted_iota(jnp.int32, (W8v, S, 128), 0) + qbase
         out, ch2 = [], []
         for j in range(8):
             rj = b + ((j - b) & 7)
@@ -650,11 +694,33 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
     @pl.when(jnp.logical_and(r % p_refill == 0, r != 0))
     def _period_dump():
         wb = wb_s[:]
-        w2, ch2 = _dump(words_ref[0].reshape(W // 8, 8, S, 128),
-                        base_s[:], wb)
-        words_ref[0] = w2.reshape(W, S, 128)
-        for j in range(8):
-            ch_s[j] = ch2[j]
+        b = base_s[:]
+
+        def _full():
+            w2, ch2 = _dump(words_ref[0].reshape(W // 8, 8, S, 128), b, wb)
+            words_ref[0] = w2.reshape(W, S, 128)
+            for j in range(8):
+                ch_s[j] = ch2[j]
+
+        if W // 8 > REFILL_QW:
+            # windowed read-modify-write: completed rows [b, b+8) almost
+            # always fit a few q-rows (see REFILL_QW), sparing the
+            # full-array pass both ways
+            s, wide = _chunk_window(b, W // 8, REFILL_QW)
+
+            @pl.when(jnp.logical_not(wide))
+            def _narrow():
+                sl = words_ref[0, pl.ds(s * 8, REFILL_QW * 8)].reshape(
+                    REFILL_QW, 8, S, 128)
+                w2, ch2 = _dump(sl, b, wb, qbase=s)
+                words_ref[0, pl.ds(s * 8, REFILL_QW * 8)] = w2.reshape(
+                    REFILL_QW * 8, S, 128)
+                for j in range(8):
+                    ch_s[j] = ch2[j]
+
+            pl.when(wide)(_full)
+        else:
+            _full()
         base_s[:] = wb
 
     states, c = state_s[:], cur_s[:]
