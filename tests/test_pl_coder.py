@@ -177,6 +177,39 @@ def test_corrupt_stream_raises():
                         interpret=True)
 
 
+def test_divergent_lanes_wide_fallback():
+    """Lanes with wildly different compressibility force the cursor
+    spread past the windowed refill/dump's REFILL_QW window, exercising
+    the full-scan fallback in both kernels (without it, this corrupts)."""
+    k, Q = 128, 480
+    rng = np.random.default_rng(99)
+    n = k * Q
+    data = np.empty(n, np.uint8)
+    # even lanes: near-constant (~1 bit/sym); odd lanes: uniform (8 bits)
+    per_lane = data.reshape(Q, k)
+    per_lane[:, 0::2] = rng.choice(
+        np.array([0, 1], np.uint8), (Q, k // 2), p=[0.95, 0.05])
+    per_lane[:, 1::2] = rng.integers(0, 256, (Q, k // 2), dtype=np.uint8)
+    hist = Histogram(data).normalize(10)
+    L, encs, packs, words, sizes = _oracle_blocks([data], [hist], k)
+    # sanity: the spread really exceeds the narrow window
+    assert (sizes.max() - sizes.min()) > 32 * PL.REFILL_QW * 8
+    R = Q - 1
+    syms, finals = PL.decode_lanes(words, sizes, packs, k=k, L=L, R=R,
+                                   interpret=True)
+    got = np.concatenate([np.asarray(syms)[0].reshape(-1),
+                          np.asarray(finals)[0]])
+    assert got.tobytes() == data.tobytes()
+    syms_in = data[: R * k].reshape(1, R, k)
+    init_syms = data[R * k:].reshape(1, k)
+    We = PL.encode_w_bound(R, L)
+    kw, ks = PL.encode_lanes(syms_in, init_syms, encs, k=k, L=L, W=We,
+                             interpret=True)
+    assert (np.asarray(ks) == sizes).all()
+    assert PL.lane_merge(np.asarray(kw)[0], sizes[0]) == \
+        PL.lane_merge(words[0], sizes[0])
+
+
 def test_lane_bits_split_merge_roundtrip():
     """Bit-packed repack (FLAG_PACKED wire): native C++ and the Python
     fallback agree and invert each other; packed payload is exactly
