@@ -296,6 +296,62 @@ def _read_block_header(sec: bytes):
         raise ValueError(f"malformed histogram header: {e!r}") from e
 
 
+def _pack_size_table(st: bytes) -> bytes:
+    """FLAG_PACKED lane-size table: ``u16 cs_len`` + either the
+    FSE-compressed table (cs_len > 0; reference k=2 frame over the raw
+    u16 LE bytes) or the raw table (cs_len == 0, incompressible or
+    degenerate fallback)."""
+    from . import native
+
+    try:
+        if native.available():
+            cs = native.compress(st, k=2)
+        else:
+            from .spec.codec import fse_compress
+            buf = bytearray()
+            fse_compress(np.frombuffer(st, np.uint8), buf, k=2)
+            cs = bytes(buf)
+        if 0 < len(cs) < len(st):
+            return struct.pack("<H", len(cs)) + cs
+    except ValueError:
+        pass  # degenerate distribution: fall through to raw
+    return struct.pack("<H", 0) + st
+
+
+def _unpack_size_table(sec: bytes, k: int) -> tuple[np.ndarray, bytes]:
+    """Inverse of _pack_size_table: returns (sizes (k,) int32, rest)."""
+    from . import native
+
+    if len(sec) < 2:
+        raise ValueError("truncated lane size table")
+    (cs_len,) = struct.unpack_from("<H", sec)
+    if cs_len == 0:
+        if len(sec) < 2 + 2 * k:
+            raise ValueError("truncated lane size table")
+        st = sec[2: 2 + 2 * k]
+        return (np.frombuffer(st, "<u2").astype(np.int32),
+                sec[2 + 2 * k:])
+    if len(sec) < 2 + cs_len:
+        raise ValueError("truncated lane size table")
+    comp = sec[2: 2 + cs_len]
+    try:
+        if native.available():
+            st = native.decompress(comp, k=2, max_out=2 * k + 8)
+        else:
+            from .spec.codec import fse_decompress
+            buf = bytearray()
+            if fse_decompress(comp, buf, k=2) is None:
+                raise ValueError("bad size table framing")
+            st = bytes(buf)
+    except ValueError:
+        raise
+    except Exception as e:
+        raise ValueError(f"malformed size table: {e!r}") from e
+    if len(st) != 2 * k:
+        raise ValueError("size table length mismatch")
+    return np.frombuffer(st, "<u2").astype(np.int32), sec[2 + cs_len:]
+
+
 def _frame_header(total_len, k, block_size, n_blocks, shared,
                   crc=False, packed=False) -> bytes:
     flags = ((FLAG_SHARED if shared else 0) | (FLAG_CRC if crc else 0)
@@ -326,7 +382,16 @@ def _encode_group_pl(blocks_src, norm_tables, l2, k, shared_table,
     merge = PL.lane_merge_bits if bit_pack else PL.lane_merge
     for j in range(B):
         payload = merge(words[j], sizes[j])
-        sec = sizes[j].astype("<u2").tobytes() + payload
+        st = sizes[j].astype("<u2").tobytes()
+        if bit_pack:
+            # FLAG_PACKED also FSE-compresses the lane-size table: the
+            # u16 lo/hi byte planes map exactly onto the reference's
+            # 2-stream interleave (even index = lo, odd = hi), and the
+            # near-constant hi plane compresses to almost nothing. The
+            # table is 2 bytes/lane — up to 12% of small-k blocks.
+            sec = _pack_size_table(st) + payload
+        else:
+            sec = st + payload
         if not shared_table:
             sec = _write_header(norm_tables[j], int(l2)) + sec
         sections[block_ids[j]] = sec
@@ -589,23 +654,27 @@ def _decode_group_pl(items, raw_len, log2, pf, out, out_base,
     words_list = []
     norm_tables = np.zeros((B, 256), np.int32)
     for j, (i, sec, nt) in enumerate(items):
+        if pf.packed:
+            # bit-packed wire (FLAG_PACKED): compressed size table, then
+            # bit-granularity lane streams (total bits, last dead bits 0)
+            sz, lanes_sec = _unpack_size_table(sec, k)
+            if (sz < log2).any():
+                raise ValueError(f"block {i}: bad lane sizes")
+            total = int(sz.astype(np.int64).sum())
+            if (total + 7) // 8 != len(lanes_sec):
+                raise ValueError(f"block {i}: bad lane sizes")
+            if total & 7 and lanes_sec[-1] >> (total & 7):
+                raise ValueError(f"block {i}: lane framing error")
+            sizes[j] = sz
+            w, Wb = PL.lane_split_bits(lanes_sec, sz, k)
+            words_list.append(w)
+            norm_tables[j] = nt
+            continue
         if len(sec) < 2 * k:
             raise ValueError(f"block {i}: truncated lane sizes")
         sz = np.frombuffer(sec[: 2 * k], "<u2").astype(np.int32)
         if (sz < log2).any():
             raise ValueError(f"block {i}: bad lane sizes")
-        if pf.packed:
-            # bit-packed wire (FLAG_PACKED): total bits, last dead bits 0
-            total = int(sz.astype(np.int64).sum())
-            if (total + 7) // 8 != len(sec) - 2 * k:
-                raise ValueError(f"block {i}: bad lane sizes")
-            if total & 7 and sec[-1] >> (total & 7):
-                raise ValueError(f"block {i}: lane framing error")
-            sizes[j] = sz
-            w, Wb = PL.lane_split_bits(sec[2 * k:], sz, k)
-            words_list.append(w)
-            norm_tables[j] = nt
-            continue
         if int(((sz + 7) >> 3).sum()) != len(sec) - 2 * k:
             raise ValueError(f"block {i}: bad lane sizes")
         # framing check (the marker-bit rule's per-lane analog, reference

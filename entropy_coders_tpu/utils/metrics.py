@@ -57,8 +57,14 @@ def frame_stats(frame: bytes) -> FrameStats:
             header_bytes += len(sec) - len(rest)
             sec = rest
         if pf.modes[i] == F.MODE_FSE_PL:
-            lane_bytes += 2 * pf.k
-            sec = sec[2 * pf.k:]
+            if pf.packed:
+                import struct
+                (cs_len,) = struct.unpack_from("<H", sec)
+                n = 2 + (cs_len if cs_len else 2 * pf.k)
+            else:
+                n = 2 * pf.k
+            lane_bytes += n
+            sec = sec[n:]
         payload_bytes += len(sec)
     return FrameStats(
         total_len=pf.total_len,
