@@ -97,7 +97,7 @@ def main():
         sizes[j] = np.frombuffer(sec[: 2 * k], "<u2")
         w, _ = PL.lane_split(sec[2 * k:], sizes[j], k)
         words_list.append(w)
-        norm = NormHistogram(tbl, l2, int(np.flatnonzero(tbl)[-1]) + 1)
+        norm = NormHistogram(tbl, l2, F._tl(tbl))
         tbls.append(PL._table_rows(DecodeTable(norm).packed))
     W = -(-max(w.shape[0] for w in words_list) // 16) * 16
     words = np.zeros((B, W, k), np.uint32)

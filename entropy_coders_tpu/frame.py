@@ -311,7 +311,7 @@ def _pack_size_table(st: bytes) -> bytes:
             buf = bytearray()
             fse_compress(np.frombuffer(st, np.uint8), buf, k=2)
             cs = bytes(buf)
-        if 0 < len(cs) < len(st):
+        if 0 < len(cs) < min(len(st), 1 << 16):
             return struct.pack("<H", len(cs)) + cs
     except ValueError:
         pass  # degenerate distribution: fall through to raw
@@ -340,7 +340,9 @@ def _unpack_size_table(sec: bytes, k: int) -> tuple[np.ndarray, bytes]:
         else:
             from .spec.codec import fse_decompress
             buf = bytearray()
-            if fse_decompress(comp, buf, k=2) is None:
+            # max_out bounds a crafted low-entropy stream (the expected
+            # output is exactly 2k bytes; anything bigger is corrupt)
+            if fse_decompress(comp, buf, k=2, max_out=2 * k + 8) is None:
                 raise ValueError("bad size table framing")
             st = bytes(buf)
     except ValueError:

@@ -995,14 +995,31 @@ def lane_merge_bits(words: np.ndarray, sizes_bits: np.ndarray) -> bytes:
     from .. import native
     if native.available():
         return native.lane_merge_bits(words, sizes_bits)
+    # numpy fallback: per-lane byte-shift-and-OR (O(payload) total work,
+    # not O(k * payload) as a big-int accumulator would be)
     cols = np.ascontiguousarray(np.asarray(words, np.uint32).T)  # (k, W)
-    acc, off = 0, 0
+    cbytes = cols.view(np.uint8).reshape(k, W * 4)
+    offs = np.concatenate([[0], np.cumsum(sizes_bits)])
+    total = int(offs[-1])
+    out = np.zeros((total + 7) // 8 + 1, np.uint8)
     for i in range(k):
         n = int(sizes_bits[i])
-        v = int.from_bytes(cols[i].tobytes(), "little") & ((1 << n) - 1)
-        acc |= v << off
-        off += n
-    return acc.to_bytes((off + 7) // 8, "little")
+        nb = (n + 7) // 8
+        b = cbytes[i, :nb].copy()
+        if n & 7:
+            b[-1] &= (1 << (n & 7)) - 1
+        off = int(offs[i])
+        s = off & 7
+        if s == 0:
+            out[off >> 3: (off >> 3) + nb] |= b
+        else:
+            w16 = b.astype(np.uint16) << s
+            lo = (w16 & 0xFF).astype(np.uint8)
+            hi = (w16 >> 8).astype(np.uint8)
+            j = off >> 3
+            out[j: j + nb] |= lo
+            out[j + 1: j + 1 + nb] |= hi
+    return out[: (total + 7) // 8].tobytes()
 
 
 def lane_split_bits(payload: bytes, sizes_bits: np.ndarray, k: int):
@@ -1016,13 +1033,25 @@ def lane_split_bits(payload: bytes, sizes_bits: np.ndarray, k: int):
     from .. import native
     if native.available():
         return native.lane_split_bits(bytes(payload), sizes_bits, k, W), W
-    acc = int.from_bytes(payload, "little")
-    cols = np.zeros((k, W), np.uint32)
-    off = 0
+    # numpy fallback: per-lane byte extraction + right shift (O(payload)
+    # total, not O(k * payload) as a big-int accumulator would be)
+    buf = np.frombuffer(bytes(payload) + b"\0\0", np.uint8)
+    offs = np.concatenate([[0], np.cumsum(sizes_bits)])
+    cols = np.zeros((k, W * 4), np.uint8)
     for i in range(k):
         n = int(sizes_bits[i])
-        v = (acc >> off) & ((1 << n) - 1)
-        b = v.to_bytes((n + 31) // 32 * 4, "little")
-        cols[i, : len(b) // 4] = np.frombuffer(b, np.uint32)
-        off += n
-    return np.ascontiguousarray(cols.T), W
+        nb = (n + 7) // 8
+        off = int(offs[i])
+        j = off >> 3
+        s = off & 7
+        span = buf[j: j + nb + 1]
+        if s == 0:
+            b = span[:nb].copy()
+        else:
+            b = ((span[:nb] >> s)
+                 | (span[1: nb + 1].astype(np.uint16) << (8 - s))
+                 .astype(np.uint8))
+        if n & 7:
+            b[-1] &= (1 << (n & 7)) - 1
+        cols[i, :nb] = b
+    return np.ascontiguousarray(cols.view(np.uint32).reshape(k, W).T), W

@@ -78,10 +78,16 @@ def fse_compress(src, dst: bytearray, k: int = 1,
     return hist, writer.finish()
 
 
-def fse_decompress(src, dst: bytearray, k: int = 1) -> int | None:
+def fse_decompress(src, dst: bytearray, k: int = 1,
+                   max_out: int | None = None) -> int | None:
     """Decompress a k-way frame; appends to ``dst`` and returns the byte
     count, or ``None`` on a framing error, like the reference's
-    ``fse_decompress``/``fse_decompress2`` (src/lib.rs:187-248)."""
+    ``fse_decompress``/``fse_decompress2`` (src/lib.rs:187-248).
+
+    ``max_out`` (an extension the reference lacks) aborts with ``None``
+    once the output would exceed it — callers decoding untrusted frames
+    with a known output size must pass it, or a crafted low-entropy
+    stream can force unbounded output (decompression-bomb DoS)."""
     try:
         hist, payload = NormHistogram.read(bytes(src))
     except ValueError:
@@ -106,6 +112,9 @@ def fse_decompress(src, dst: bytearray, k: int = 1) -> int | None:
             break
         dst.append(sym)
         i += 1
+        if max_out is not None and i > max_out:
+            del dst[start:]
+            return None
     return len(dst) - start
 
 

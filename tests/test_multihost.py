@@ -24,26 +24,34 @@ def _free_port() -> int:
 
 
 def test_two_process_roundtrip():
-    port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers use 1 CPU device each
     env["JAX_PLATFORMS"] = "cpu"
-    procs = [
-        subprocess.Popen([sys.executable, WORKER, str(port), "2", str(i)],
-                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
-                         env=env, text=True)
-        for i in range(2)
-    ]
-    outs = []
-    for p in procs:
-        try:
-            out, err = p.communicate(timeout=540)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            raise
-        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
-        outs.append(out)
-    hashes = {line.split()[1] for o in outs for line in o.splitlines()
+    last = None
+    for attempt in range(3):  # _free_port is racy (TOCTOU); retry
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, WORKER, str(port), "2", str(i)],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                env=env, text=True)
+            for i in range(2)
+        ]
+        outs, rcs = [], []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=540)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append((out, err))
+            rcs.append(p.returncode)
+        if all(rc == 0 for rc in rcs):
+            break
+        last = outs
+    else:
+        raise AssertionError(f"workers failed 3 attempts:\n{last}")
+    hashes = {line.split()[1] for o, _ in outs for line in o.splitlines()
               if line.startswith("OK")}
     assert len(hashes) == 1, f"hosts disagree on the frame: {outs}"

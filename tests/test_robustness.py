@@ -108,6 +108,36 @@ def test_lane_sizes_tampered(pl_frame):
         F.decompress(bytes(bad), interpret=True)
 
 
+def test_packed_size_table_bomb_bounded():
+    """A crafted low-entropy FSE stream in a FLAG_PACKED size table must
+    not amplify into unbounded output on the spec-decoder fallback
+    (decompression-bomb DoS): the decode aborts at the expected 2k bytes
+    and raises ValueError promptly."""
+    import struct
+    import time
+    import unittest.mock as mock
+
+    from entropy_coders_tpu import native
+    from entropy_coders_tpu.spec.histogram import NormHistogram
+
+    t = np.zeros(256, np.int32)
+    t[0] = (1 << 15) - 1
+    t[1] = 1
+    norm = NormHistogram.try_from(t)
+    hdr = bytearray()
+    norm.write(hdr)
+    bomb = bytes(hdr) + b"\xff" * 60  # decodes to hundreds of KB unbounded
+    sec = struct.pack("<H", len(bomb)) + bomb + b"lanes"
+    for force_fallback in (False, True):
+        ctx = (mock.patch.object(native, "available", lambda: False)
+               if force_fallback else mock.patch.object(F, "MAGIC", F.MAGIC))
+        with ctx:
+            t0 = time.perf_counter()
+            with pytest.raises(ValueError):
+                F._unpack_size_table(sec, 128)
+            assert time.perf_counter() - t0 < 5
+
+
 def test_zero_and_tiny_inputs():
     assert F.decompress(F.compress(b"", lanes=False)) == b""
     for n in (1, 2, 3, 7, 15, 16, 17):
