@@ -89,6 +89,14 @@ CASES = [
      "block_size": 1024, "lanes": True,
      # block 0 constant (RLE), block 1 uniform (RAW), block 2 geometric
      "input": {"kind": "mixed_rle_raw", "size": 3 * 1024, "seed": 9}},
+    # FLAG_PACKED wire: bit-granularity lanes + FSE-compressed size table
+    {"name": "frame_packed", "codec": "frame", "k": 256,
+     "block_size": 4096, "lanes": True, "bit_pack": True,
+     "input": {"kind": "geometric", "prob": 0.2, "size": 2 * 4096 + 512,
+               "seed": 10}},
+    {"name": "frame_packed_crc", "codec": "frame", "k": 128,
+     "block_size": 2048, "lanes": True, "bit_pack": True, "checksum": True,
+     "input": {"kind": "narrow", "hi": 8, "size": 4 * 2048, "seed": 11}},
 ]
 
 
@@ -119,7 +127,7 @@ def build_case(case: dict) -> bytes:
         return bytes(dst)
     kwargs = {kk: case[kk] for kk in
               ("block_size", "k", "lanes", "shared_table", "checksum",
-               "table_log") if kk in case}
+               "table_log", "bit_pack") if kk in case}
     return F.compress(data, interpret=True, **kwargs)
 
 
