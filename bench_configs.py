@@ -121,15 +121,19 @@ def _device_decode_gbps(comp: bytes, block_size: int, k: int) -> float:
     r = call()
     assert int(np.asarray(r[2]).sum()) == 0
     _sync(r)
-    t0 = time.perf_counter(); _sync(call()); t1 = time.perf_counter() - t0
-    nn = 6
-    t0 = time.perf_counter()
-    rs = [call() for _ in range(nn)]
-    _sync(rs[-1])
-    tn = time.perf_counter() - t0
-    m = (tn - t1) / (nn - 1)
-    if m <= t1 / 100:  # jitter swamped the 1-call baseline; use the
-        m = tn / nn    # amortized (sync-inclusive) bound instead
+    # median of 3 marginal batches, 24 pipelined calls each: small
+    # workloads decode in ~1 ms, so the pipeline must dwarf the fixed
+    # ~40 ms sync RPC of this sandbox's tunnel
+    nn, est = 24, []
+    for _ in range(3):
+        t0 = time.perf_counter(); _sync(call()); t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rs = [call() for _ in range(nn)]
+        _sync(rs[-1])
+        tn = time.perf_counter() - t0
+        m = (tn - t1) / (nn - 1)
+        est.append(m if m > t1 / 100 else tn / nn)
+    m = float(np.median(est))
     return B * block_size / m / 1e9
 
 

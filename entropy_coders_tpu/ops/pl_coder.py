@@ -461,6 +461,21 @@ def _unfuse_words(words, *, w_act, F, k):
     return w.transpose(0, 2, 1, 3).reshape(Bf * F, w_act, k)
 
 
+def _bucket_b(b: int, quantum: int) -> int:
+    """Round a batch size up to a bounded set of compile shapes: powers
+    of two through 64, then multiples of 64 (times the caller's
+    fuse/mesh quantum). Each distinct jitted batch shape costs a full
+    XLA/Mosaic compile — expensive, and never cached across processes on
+    some backends — while the padded blocks only cost microseconds of
+    device time."""
+    target = b
+    if b <= 64:
+        target = 1 << (b - 1).bit_length() if b > 1 else 1
+    else:
+        target = _cdiv(b, 64) * 64
+    return _cdiv(max(target, b), quantum) * quantum
+
+
 def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
                       interpret=False, mesh=None):
     """Device-native encode_lanes: takes raw blocks (B, n) uint8 with
@@ -474,8 +489,10 @@ def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
         raise ValueError("k must be a multiple of 128 and divide n")
     R = n // k - 1
     interpret = interpret or jax.default_backend() != "tpu"
-    F = _fuse_factor(B, k, mesh)
-    pad = (-B) % (F * (mesh.size if mesh is not None else 1))
+    Bp = _bucket_b(B, 1)
+    F = _fuse_factor(Bp, k, mesh)
+    quantum = F * (mesh.size if mesh is not None else 1)
+    pad = _cdiv(Bp, quantum) * quantum - B
     if pad:  # pad with copies of block 0 (results discarded)
         blocks = jnp.concatenate([blocks, jnp.repeat(blocks[:1], pad, 0)])
         norm_tables = jnp.concatenate(
@@ -536,8 +553,10 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
         words = np.concatenate(
             [words, np.zeros((B, 8 - W % 8, k), words.dtype)], axis=1)
     interpret = interpret or jax.default_backend() != "tpu"
-    F = _fuse_factor(B, k, mesh)
-    pad = (-B) % (F * (mesh.size if mesh is not None else 1))
+    Bp = _bucket_b(B, 1)
+    F = _fuse_factor(Bp, k, mesh)
+    quantum = F * (mesh.size if mesh is not None else 1)
+    pad = _cdiv(Bp, quantum) * quantum - B
     if isinstance(words, np.ndarray):
         words = words.view(np.int32)
     else:
