@@ -55,7 +55,8 @@ def main(argv=None) -> int:
     from . import frame as F
 
     if args.cmd == "compress":
-        data = open(args.infile, "rb").read()
+        from .stream import compress_file
+
         kw = {}
         if args.block_size:
             kw["block_size"] = args.block_size
@@ -63,8 +64,6 @@ def main(argv=None) -> int:
             kw["k"] = args.k
         if args.table_log:
             kw["table_log"] = args.table_log
-        if args.shared_table:
-            kw["shared_table"] = True
         if args.no_lanes:
             kw["lanes"] = False
         if args.checksum:
@@ -72,19 +71,28 @@ def main(argv=None) -> int:
         if args.bit_pack:
             kw["bit_pack"] = True
         t0 = time.perf_counter()
-        comp = F.compress(data, **kw)
+        import os
+        if args.shared_table:
+            # a shared table needs the whole-file histogram: non-streaming
+            data = open(args.infile, "rb").read()
+            comp = F.compress(data, shared_table=True, **kw)
+            open(args.outfile, "wb").write(comp)
+            n_in, n_out = len(data), len(comp)
+        else:
+            n_out = compress_file(args.infile, args.outfile, **kw)
+            n_in = os.path.getsize(args.infile)
         dt = time.perf_counter() - t0
-        open(args.outfile, "wb").write(comp)
-        print(f"{len(data)} -> {len(comp)} bytes "
-              f"(ratio {len(comp)/max(len(data),1):.4f}) in {dt:.2f}s",
+        print(f"{n_in} -> {n_out} bytes "
+              f"(ratio {n_out/max(n_in,1):.4f}) in {dt:.2f}s",
               file=sys.stderr)
     elif args.cmd == "decompress":
-        comp = open(args.infile, "rb").read()
+        from .stream import decompress_file
+
+        import os
         t0 = time.perf_counter()
-        data = F.decompress(comp)
+        n_out = decompress_file(args.infile, args.outfile)
         dt = time.perf_counter() - t0
-        open(args.outfile, "wb").write(data)
-        print(f"{len(comp)} -> {len(data)} bytes in {dt:.2f}s",
+        print(f"{os.path.getsize(args.infile)} -> {n_out} bytes in {dt:.2f}s",
               file=sys.stderr)
     else:
         from .utils import frame_stats
