@@ -435,7 +435,12 @@ def _encode_e2e(blocks, norm_tables, *, k, L, R, W, F, interpret):
         functools.partial(build_encode_table, log2=L))(
             norm_tables.astype(jnp.int32))
     symtf = _fuse_tbl_dev(_pack_symt_dev(tt_bits, tt_fs, L), S_each, F)
-    sttf = _fuse_tbl_dev(_rows_dev(tbl.astype(jnp.int32)), S_each, F)
+    # next-state entries are u16: pack PAIRS into one i32 so the
+    # dominant in-kernel gather touches half the rows (entry i lives in
+    # packed[i >> 1], half selected by i & 1)
+    t32 = tbl.astype(jnp.int32)
+    pairs = t32[:, 0::2] | (t32[:, 1::2] << 16)
+    sttf = _fuse_tbl_dev(_rows_dev(pairs), S_each, F)
     # lane i codes bytes {i, i+k, ...}: round r, lane i = byte r*k+i; the
     # kernel consumes rounds in reverse (via its grid index map — no
     # flipped copy); each lane's LAST byte folds into the initial state
@@ -653,6 +658,12 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
     symt = symt_ref[0]  # (2,St,128) packed symbol transforms (see below)
     stt = stt_ref[0]    # (hi_n,St,128) next-state table
 
+    def _next_state(idx):
+        # next-state entries are u16 PAIRS packed per i32 (entry i at
+        # packed[i >> 1], half by i & 1): halves the dominant gather
+        v = _gather_rows(stt, _shr_u(idx, 1), hi_n, S)
+        return jnp.where((idx & 1) == 1, _shr_u(v, 16), v & 0xFFFF)
+
     def _sym_transform(sym):
         # L <= 12: one packed gather, mb(4b) | min_state_plus(14b) |
         # fs+4096(13b) (tt_bits == (mb<<16) - msp, reference
@@ -701,8 +712,7 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         tb, fs = _sym_transform(sym)
         bits_out0 = _shr_u(tb, 16) + 1
         value0 = lax.shift_left(bits_out0, 16) - tb
-        state_s[:] = _gather_rows(stt, _shr_u(value0, bits_out0) + fs,
-                                  hi_n, S)
+        state_s[:] = _next_state(_shr_u(value0, bits_out0) + fs)
         z = jnp.zeros((S, 128), jnp.int32)
         cur_s[:] = z
         wb_s[:] = z
@@ -777,7 +787,7 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         active = (r * E + e) < R
         bits_out = jnp.where(active, bits_out, 0)
         val = states & (lax.shift_left(jnp.int32(1), bits_out) - 1)
-        nstate = _gather_rows(stt, _shr_u(states, bits_out) + fs, hi_n, S)
+        nstate = _next_state(_shr_u(states, bits_out) + fs)
         states = jnp.where(active, nstate, states)
         blo, bhi = _put(blo, bhi, c - wb * 32, val)
         c = c + bits_out
@@ -829,7 +839,8 @@ def _encode_call(syms, init_syms, symt, stt, *, S, W, L, R,
     E = e_rounds or _pick_e(L)
     p_refill = _pick_p(E, L)
     G = _cdiv(R, E)
-    hi_n = max((1 << L) // 128, 1)
+    # the next-state table is pair-packed (2 u16 entries per i32 word)
+    hi_n = max((1 << L) // 256, 1)
     pad_r = G * E - R
     if pad_r:
         # pad at the FRONT so natural chunks align with reversed-order
@@ -909,7 +920,8 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
             assert mb.max() <= 16 and msp.max() <= (1 << 16) and np.abs(fs).max() < (1 << 15)
             plane_a = _table_rows((mb << 18) | (fs + (1 << 17)))
             symt.append(np.concatenate([plane_a, _table_rows(msp)], axis=0))
-        stt.append(_table_rows(t))
+        t64 = np.asarray(t, np.int64)
+        stt.append(_table_rows(t64[0::2] | (t64[1::2] << 16)))
     syms = np.asarray(syms, np.uint8)
     init_syms = np.asarray(init_syms, np.uint8)
     if B % F:  # pad with copies of block 0 (results discarded)
