@@ -98,7 +98,7 @@ def main():
         w, _ = PL.lane_split(sec[2 * k:], sizes[j], k)
         words_list.append(w)
         norm = NormHistogram(tbl, l2, F._tl(tbl))
-        tbls.append(PL._table_rows(DecodeTable(norm).packed))
+        tbls.append(PL.decode_table_rows(DecodeTable(norm).packed, L))
     W = -(-max(w.shape[0] for w in words_list) // 16) * 16
     words = np.zeros((B, W, k), np.uint32)
     for j, w in enumerate(words_list):

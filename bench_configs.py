@@ -101,7 +101,7 @@ def _device_decode_gbps(comp: bytes, block_size: int, k: int) -> float:
         w, _ = PL.lane_split(sec[2 * k:], sz, k)
         sizes_list.append(sz)
         words_list.append(w)
-        tbls.append(PL._table_rows(DecodeTable(norm).packed))
+        tbls.append(PL.decode_table_rows(DecodeTable(norm).packed, L))
     sizes = np.stack(sizes_list)
     B = len(words_list)
     W = -(-max(w.shape[0] for w in words_list) // 16) * 16

@@ -47,6 +47,7 @@ from .tables import build_decode_table, build_encode_table
 __all__ = [
     "decode_lanes",
     "decode_lanes_norm",
+    "decode_table_rows",
     "encode_lanes",
     "encode_lanes_norm",
     "encode_w_bound",
@@ -107,6 +108,24 @@ def _table_rows(values: np.ndarray) -> np.ndarray:
     if v.shape[0] < 128:
         v = np.pad(v, (0, 128 - v.shape[0]))
     return v.reshape(-1, 128).astype(np.uint32).view(np.int32)
+
+
+def decode_table_rows(packed: np.ndarray, L: int) -> np.ndarray:
+    """Decode-table entries (2^L,) u32 (sym<<24|nb<<16|base) -> gather
+    rows for the decode kernel. For L <= 12 the entries split into
+    (nb<<12|base) u16 PAIRS and sym QUADS packed per i32 word — 3/4 the
+    gather rows of the flat layout (nb <= 12 fits 4 bits, base < 2^12);
+    above L=12 base needs more bits and the flat one-entry-per-word
+    layout is used."""
+    pk = np.asarray(packed, np.uint32).astype(np.int64)
+    if L > 12:
+        return _table_rows(pk)
+    nbns = (((pk >> 16) & 0xFF) << 12) | (pk & 0xFFF)
+    pairs = nbns[0::2] | (nbns[1::2] << 16)
+    sym = pk >> 24
+    quads = (sym[0::4] | (sym[1::4] << 8) | (sym[2::4] << 16)
+             | (sym[3::4] << 24))
+    return np.concatenate([_table_rows(pairs), _table_rows(quads)], axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -219,6 +238,24 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
     def words8():
         return words_ref[0].reshape(W // 8, 8, S, 128)
 
+    def _entry(states):
+        """(nb, base, sym) for each lane's state. L <= 12 uses the split
+        pair/quad table layout (decode_table_rows): (nb<<12|base) u16
+        pairs then sym quads — 3/4 the gather rows of the flat form."""
+        if L <= 12:
+            h2 = max((1 << L) // 256, 1)
+            h4 = max((1 << L) // 512, 1)
+            vp = _gather_rows(tbl[:h2], _shr_u(states, 1), h2, S)
+            half = jnp.where((states & 1) == 1, _shr_u(vp, 16),
+                             vp & 0xFFFF)
+            nb = _shr_u(half, 12)
+            base = half & 0xFFF
+            vq = _gather_rows(tbl[h2:], _shr_u(states, 2), h4, S)
+            sym = _shr_u(vq, lax.shift_left(states & 3, 3)) & 0xFF
+            return nb, base, sym
+        pk = _gather_rows(tbl, states, hi_n, S)
+        return _shr_u(pk, 16) & 0xFF, pk & 0xFFFF, _shr_u(pk, 24) & 0xFF
+
     @pl.when(r == 0)
     def _init_cursors():
         c = sizes_ref[0] - L
@@ -275,10 +312,7 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
     wb = jnp.where(slide, wb2, wb)
 
     for e in range(E):
-        pk = _gather_rows(tbl, states, hi_n, S)
-        sym = _shr_u(pk, 24) & 0xFF
-        nb = _shr_u(pk, 16) & 0xFF
-        base = pk & 0xFFFF
+        nb, base, sym = _entry(states)
         active = (r * E + e) < R
         nb = jnp.where(active, nb, 0)
         c = c - nb
@@ -291,8 +325,8 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
 
     @pl.when(r == G - 1)
     def _fin():
-        pk = _gather_rows(tbl, states, hi_n, S)
-        finals_ref[0] = _shr_u(pk, 24) & 0xFF
+        _, _, sym = _entry(states)
+        finals_ref[0] = sym
         err_ref[0, 0, 0] = jnp.sum(jnp.abs(c))
 
 
@@ -530,7 +564,18 @@ def _decode_e2e(words, sizes, norm_tables, *, k, L, R, F, interpret):
     Bf, S = B // F, F * k // 128
     packed = jax.vmap(functools.partial(build_decode_table, log2=L))(
         norm_tables.astype(jnp.int32))
-    rows = _rows_dev(lax.bitcast_convert_type(packed, jnp.int32))
+    pk = lax.bitcast_convert_type(packed, jnp.int32)
+    if L <= 12:  # split pair/quad layout (see decode_table_rows)
+        nbns = (lax.shift_left(_shr_u(pk, 16) & 0xFF, 12)) | (pk & 0xFFF)
+        pairs = nbns[:, 0::2] | lax.shift_left(nbns[:, 1::2], 16)
+        sym = _shr_u(pk, 24)
+        quads = (sym[:, 0::4] | lax.shift_left(sym[:, 1::4], 8)
+                 | lax.shift_left(sym[:, 2::4], 16)
+                 | lax.shift_left(sym[:, 3::4], 24))
+        rows = jnp.concatenate([_rows_dev(pairs), _rows_dev(quads)],
+                               axis=1)
+    else:
+        rows = _rows_dev(pk)
     tblf = _fuse_tbl_dev(rows, k // 128, F)
     wordsf = (words.reshape(Bf, F, W, k).transpose(0, 2, 1, 3)
               .reshape(Bf, W, S, 128))
@@ -612,7 +657,7 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
     interpret = interpret or jax.default_backend() != "tpu"
 
     F = _fuse_factor(B, k, mesh)
-    rows_list = [_table_rows(packed_tables[b]) for b in range(B)]
+    rows_list = [decode_table_rows(packed_tables[b], L) for b in range(B)]
     if B % F:  # pad with copies of block 0 (results discarded)
         pad = F - B % F
         words = np.concatenate([words, words[:1].repeat(pad, 0)])
