@@ -340,7 +340,10 @@ def _decode_call(words, sizes, tbl, *, S, W, L, R, interpret=False,
     if p_refill is None:
         p_refill = _pick_p(E, L)
     G = _cdiv(R, E)
-    hi_n = max((1 << L) // 128, 1)
+    # table rows: the split pair/quad layout (L <= 12) has
+    # hi_n/2 + hi_n/4 rows, the flat layout (L >= 13) 2^L/128; use the
+    # array's own count so the BlockSpec never over- or under-claims
+    hi_n = tbl.shape[1]
     kern = functools.partial(_decode_kernel, S=S, W=W, L=L, R=R, G=G,
                              hi_n=hi_n, E=E, p_refill=p_refill)
     scr = pltpu.VMEM((S, 128), jnp.int32)

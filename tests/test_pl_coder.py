@@ -101,6 +101,32 @@ def test_encode_lanes_bit_exact(gen, Q):
         assert got == expect
 
 
+@pytest.mark.parametrize("L", [5, 6, 8])
+def test_pl_small_table_log_bit_exact(L):
+    """Tiny table logs: the pair/quad split tables pad below one 128-wide
+    row (and the encode pair table likewise) — both kernels must stay
+    bit-exact vs the spec oracle."""
+    B, k, Q = 1, 128, 6
+    rng = np.random.default_rng(L)
+    data = rng.integers(0, 3, k * Q).astype(np.uint8)  # tiny alphabet
+    hist = Histogram(data).normalize(L)
+    assert hist.log2 == L
+    L2, encs, packs, words, sizes = _oracle_blocks([data], [hist], k)
+    R = Q - 1
+    syms, finals = PL.decode_lanes(words, sizes, packs, k=k, L=L, R=R,
+                                   interpret=True)
+    got = np.concatenate([np.asarray(syms)[0].reshape(-1),
+                          np.asarray(finals)[0]])
+    assert got.tobytes() == data.tobytes()
+    We = PL.encode_w_bound(R, L)
+    kw, ks = PL.encode_lanes(data[: R * k].reshape(1, R, k),
+                             data[R * k:].reshape(1, k), encs, k=k, L=L,
+                             W=We, interpret=True)
+    assert (np.asarray(ks) == sizes).all()
+    assert PL.lane_merge(np.asarray(kw)[0], sizes[0]) == \
+        PL.lane_merge(words[0], sizes[0])
+
+
 @pytest.mark.parametrize("L", [13, 15])
 def test_pl_high_table_log_bit_exact(L):
     """table_log 13-15 on the flagship path (reference supports the full
