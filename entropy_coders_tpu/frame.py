@@ -565,6 +565,17 @@ def _parse_frame(frame: bytes) -> _ParsedFrame:
                         bool(flags & FLAG_PACKED))
 
 
+def _subframe_parts(pf: "_ParsedFrame"):
+    """(entries u32, crcs | None, payload bytes) of a parsed frame — the
+    pieces a larger frame assembles from sub-frames (ordered multi-host
+    merge, file streaming)."""
+    entries = ((pf.modes.astype(np.uint32) << 30)
+               | pf.lens.astype(np.uint32))
+    payload = (pf.frame[int(pf.offs[0]): int(pf.offs[-1] + pf.lens[-1])]
+               if pf.n_blocks else b"")
+    return entries, pf.crcs, payload
+
+
 def decompress(frame: bytes, *, sharding=None, interpret: bool = False,
                start: int = 0, length: int | None = None) -> bytes:
     """Decompress a TPU container frame back to bytes.
@@ -573,7 +584,16 @@ def decompress(frame: bytes, *, sharding=None, interpret: bool = False,
     range (random access — every block is independently decodable) and
     return exactly that slice. When the frame carries per-block crc32s
     (``compress(checksum=True)``), each decoded block is verified."""
-    pf = _parse_frame(frame)
+    return _decompress_parsed(_parse_frame(frame), sharding=sharding,
+                              interpret=interpret, start=start,
+                              length=length)
+
+
+def _decompress_parsed(pf: "_ParsedFrame", *, sharding=None,
+                       interpret: bool = False, start: int = 0,
+                       length: int | None = None) -> bytes:
+    """Range-decode an already-parsed frame (callers that decode many
+    ranges of one frame — file streaming — parse once)."""
     if length is None:
         length = pf.total_len - start
     if not (0 <= start <= pf.total_len and 0 <= length <= pf.total_len - start):

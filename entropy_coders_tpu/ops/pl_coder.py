@@ -503,19 +503,16 @@ def _unfuse_words(words, *, w_act, F, k):
     return w.transpose(0, 2, 1, 3).reshape(Bf * F, w_act, k)
 
 
-def _bucket_b(b: int, quantum: int) -> int:
+def _bucket_b(b: int) -> int:
     """Round a batch size up to a bounded set of compile shapes: powers
-    of two through 64, then multiples of 64 (times the caller's
-    fuse/mesh quantum). Each distinct jitted batch shape costs a full
-    XLA/Mosaic compile — expensive, and never cached across processes on
-    some backends — while the padded blocks only cost microseconds of
-    device time."""
-    target = b
+    of two through 64, then multiples of 64. Each distinct jitted batch
+    shape costs a full XLA/Mosaic compile — expensive, and never cached
+    across processes on some backends — while the padded blocks only
+    cost microseconds of device time. Callers additionally round up to
+    their fuse/mesh quantum."""
     if b <= 64:
-        target = 1 << (b - 1).bit_length() if b > 1 else 1
-    else:
-        target = _cdiv(b, 64) * 64
-    return _cdiv(max(target, b), quantum) * quantum
+        return 1 << (b - 1).bit_length() if b > 1 else 1
+    return _cdiv(b, 64) * 64
 
 
 def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
@@ -531,7 +528,7 @@ def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
         raise ValueError("k must be a multiple of 128 and divide n")
     R = n // k - 1
     interpret = interpret or jax.default_backend() != "tpu"
-    Bp = _bucket_b(B, 1)
+    Bp = _bucket_b(B)
     F = _fuse_factor(Bp, k, mesh)
     quantum = F * (mesh.size if mesh is not None else 1)
     pad = _cdiv(Bp, quantum) * quantum - B
@@ -606,7 +603,7 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
         words = np.concatenate(
             [words, np.zeros((B, 8 - W % 8, k), words.dtype)], axis=1)
     interpret = interpret or jax.default_backend() != "tpu"
-    Bp = _bucket_b(B, 1)
+    Bp = _bucket_b(B)
     F = _fuse_factor(Bp, k, mesh)
     quantum = F * (mesh.size if mesh is not None else 1)
     pad = _cdiv(Bp, quantum) * quantum - B

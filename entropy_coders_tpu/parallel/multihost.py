@@ -124,14 +124,13 @@ def _merge_frames(frames: list[bytes], total_len: int, block_size: int,
         if (pf.block_size != block_size or pf.k != k or pf.shared
                 or pf.packed != packed):
             raise ValueError("multihost merge: sub-frame layout mismatch")
-        entries.append((pf.modes.astype(np.uint32) << 30)
-                       | pf.lens.astype(np.uint32))
+        ent, sub_crcs, payload = F._subframe_parts(pf)
+        entries.append(ent)
         if checksum:
-            if pf.crcs is None:
+            if sub_crcs is None:
                 raise ValueError("multihost merge: missing crc table")
-            crcs.append(pf.crcs)
-        payloads.append(pf.frame[int(pf.offs[0]):
-                                 int(pf.offs[-1] + pf.lens[-1])])
+            crcs.append(sub_crcs)
+        payloads.append(payload)
         n_blocks += pf.n_blocks
     if n_blocks != (total_len + block_size - 1) // block_size:
         raise ValueError("multihost merge: block count mismatch")

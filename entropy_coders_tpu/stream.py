@@ -8,14 +8,15 @@ every chunk is compressed as a self-contained sub-frame whose block
 table entries and payload bytes are streamed into their final places —
 the frame header and tables are sized purely by ``n_blocks``, which is
 known from the file size up front, so the table area is reserved and
-patched once at the end.
+patched once at the end. Output lands in a same-directory temp file
+renamed over the destination only on success (a failure never destroys
+a pre-existing archive).
 """
 
 from __future__ import annotations
 
 import mmap
 import os
-import struct
 
 import numpy as np
 
@@ -36,6 +37,8 @@ def compress_file(src_path, dst_path, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
     default)."""
     if chunk_blocks < 1:
         raise ValueError("chunk_blocks must be >= 1")
+    if block_size < 16:
+        raise ValueError("block_size must be >= 16")
     total_len = os.path.getsize(src_path)
     n_blocks = -(-total_len // block_size) if total_len else 0
     entries = np.zeros(n_blocks, np.uint32)
@@ -44,59 +47,76 @@ def compress_file(src_path, dst_path, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
                           checksum, bit_pack)
     table_off = len(hdr)
     table_len = 4 * n_blocks * (2 if checksum else 1)
+    tmp_path = os.fspath(dst_path) + ".tmp"
     done = 0
-    with open(src_path, "rb") as fin, open(dst_path, "wb") as fout:
-        fout.write(hdr)
-        fout.write(b"\0" * table_len)  # reserved; patched at the end
-        while True:
-            chunk = fin.read(chunk_blocks * block_size)
-            if not chunk:
-                break
-            sub = F.compress(np.frombuffer(chunk, np.uint8),
-                             block_size=block_size, k=k, lanes=lanes,
-                             table_log=table_log, checksum=checksum,
-                             bit_pack=bit_pack, interpret=interpret)
-            pf = F._parse_frame(sub)
-            nb = pf.n_blocks
-            entries[done: done + nb] = (
-                (pf.modes.astype(np.uint32) << 30)
-                | pf.lens.astype(np.uint32))
+    try:
+        with open(src_path, "rb") as fin, open(tmp_path, "wb") as fout:
+            fout.write(hdr)
+            fout.write(b"\0" * table_len)  # reserved; patched at the end
+            while True:
+                chunk = fin.read(chunk_blocks * block_size)
+                if not chunk:
+                    break
+                sub = F.compress(np.frombuffer(chunk, np.uint8),
+                                 block_size=block_size, k=k, lanes=lanes,
+                                 table_log=table_log, checksum=checksum,
+                                 bit_pack=bit_pack, interpret=interpret)
+                pf = F._parse_frame(sub)
+                ent, sub_crcs, payload = F._subframe_parts(pf)
+                nb = pf.n_blocks
+                entries[done: done + nb] = ent
+                if checksum:
+                    crcs[done: done + nb] = sub_crcs
+                fout.write(payload)
+                done += nb
+            if done != n_blocks:
+                raise ValueError("input changed size during compression")
+            end = fout.tell()
+            fout.seek(table_off)
+            fout.write(entries.astype("<u4").tobytes())
             if checksum:
-                crcs[done: done + nb] = pf.crcs
-            if nb:
-                fout.write(pf.frame[int(pf.offs[0]):
-                                    int(pf.offs[-1] + pf.lens[-1])])
-            done += nb
-        if done != n_blocks:
-            raise ValueError("input changed size during compression")
-        end = fout.tell()
-        fout.seek(table_off)
-        fout.write(entries.astype("<u4").tobytes())
-        if checksum:
-            fout.write(crcs.astype("<u4").tobytes())
+                fout.write(crcs.astype("<u4").tobytes())
+        os.replace(tmp_path, dst_path)
+    except BaseException:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+        raise
     return end
 
 
 def decompress_file(src_path, dst_path, *, chunk_blocks: int = 64,
                     interpret: bool = False) -> int:
     """Stream-decompress ``src_path`` into ``dst_path``; returns the raw
-    byte count. The frame is memory-mapped (no full-frame copy) and
-    decoded ``chunk_blocks`` blocks at a time via the container's
-    random-access property."""
-    with open(src_path, "rb") as fin:
+    byte count. The frame is memory-mapped (no full-frame copy), parsed
+    ONCE, and decoded ``chunk_blocks`` blocks at a time via the
+    container's random-access property. Output is written atomically
+    (same-directory temp + rename)."""
+    tmp_path = os.fspath(dst_path) + ".tmp"
+    try:
+        with open(src_path, "rb") as fin:
+            try:
+                mm = mmap.mmap(fin.fileno(), 0, access=mmap.ACCESS_READ)
+            except ValueError:  # empty file
+                mm = b""
+            pf = F._parse_frame(mm)
+            with open(tmp_path, "wb") as fout:
+                for b_lo in range(0, pf.n_blocks, chunk_blocks):
+                    start = b_lo * pf.block_size
+                    length = min((b_lo + chunk_blocks) * pf.block_size,
+                                 pf.total_len) - start
+                    fout.write(F._decompress_parsed(
+                        pf, start=start, length=length,
+                        interpret=interpret))
+                total = fout.tell()
+        if total != pf.total_len:
+            raise ValueError("decoded length mismatch")
+        os.replace(tmp_path, dst_path)
+    except BaseException:
         try:
-            mm = mmap.mmap(fin.fileno(), 0, access=mmap.ACCESS_READ)
-        except ValueError:  # empty file
-            mm = b""
-        pf = F._parse_frame(mm)
-        with open(dst_path, "wb") as fout:
-            for b_lo in range(0, pf.n_blocks, chunk_blocks):
-                start = b_lo * pf.block_size
-                length = min((b_lo + chunk_blocks) * pf.block_size,
-                             pf.total_len) - start
-                fout.write(F.decompress(mm, start=start, length=length,
-                                        interpret=interpret))
-            total = fout.tell()
-    if total != pf.total_len:
-        raise ValueError("decoded length mismatch")
+            os.unlink(tmp_path)
+        except OSError:
+            pass
+        raise
     return total
