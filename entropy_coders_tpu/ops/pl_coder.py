@@ -57,14 +57,11 @@ __all__ = [
     "lane_merge_bits",
 ]
 
-# Default rounds per grid step. The register-window bit I/O guarantees one
-# window slide per epoch covers E*L bits, requiring E*L <= 32: E=3 for
-# L <= 10 (the flagship default), E=2 up to L=15. Larger unrolls blow up
-# Mosaic compile time without helping steady state.
-E = 2
-
-
 def _pick_e(L: int) -> int:
+    """Rounds per grid step: the register-window bit I/O guarantees one
+    window slide per epoch covers E*L bits, requiring E*L <= 32 — E=3
+    for L <= 10 (the flagship default), E=2 up to L=15. Larger unrolls
+    blow up Mosaic compile time without helping steady state."""
     return 3 if 3 * L <= 32 else 2
 
 
