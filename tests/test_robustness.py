@@ -75,6 +75,38 @@ def test_random_corruption_never_crashes(which, pl_frame, xla_frame):
     assert errors > 0  # sanity: corruption is actually being detected
 
 
+def test_random_corruption_packed_frames():
+    """Corruption fuzz over the FLAG_PACKED wire (bit-granularity lanes,
+    FSE-compressed size tables): its parse path has its own validation
+    and must hold the same ValueError-only contract."""
+    data = gen_sequence(0.2, 3 * 4096 + 123)
+    comp = F.compress(data, block_size=4096, k=128, lanes=True,
+                      interpret=True, bit_pack=True)
+    rng = np.random.default_rng(3)
+    errors = 0
+    for t in range(200):
+        bad = bytearray(comp)
+        pos = int(rng.integers(0, len(bad)))
+        bad[pos] ^= int(rng.integers(1, 256))
+        try:
+            out = F.decompress(bytes(bad), interpret=True)
+            assert isinstance(out, bytes) and len(out) == len(data)
+        except ValueError:
+            errors += 1
+    assert errors > 0
+
+
+def test_owned_blocks_edges():
+    """Contiguous balanced split: covers all blocks exactly once, even
+    with more processes than blocks."""
+    from entropy_coders_tpu.parallel.multihost import owned_blocks
+    for n_blocks in (0, 1, 5, 64):
+        for procs in (1, 2, 3, 7, 100):
+            ranges = [owned_blocks(n_blocks, procs, i) for i in range(procs)]
+            covered = [b for lo, hi in ranges for b in range(lo, hi)]
+            assert covered == list(range(n_blocks)), (n_blocks, procs)
+
+
 def test_corrupt_headers_fuzz(pl_frame):
     """Byte flips concentrated in the frame + histogram header region
     (the most parse-heavy bytes)."""
