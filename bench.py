@@ -58,8 +58,9 @@ def main():
     on_tpu = jax.default_backend() == "tpu"
     size = 128 << 20  # 128 MiB (stable marginal timing)
     block_size = 16 << 20  # decode is block-size independent since the
-    k = 8192               # windowed refill; encode gains ~30% over
-                           # 4 MiB from amortized grid boundaries
+    k = 16384              # windowed refill; k=16k halves the serial
+                           # round count per block (39 vs 27 GB/s at 8k;
+                           # 32k regresses — S=256 gather tiles)
     if not on_tpu:  # CI/smoke fallback: tiny workload, interpreter kernels
         size, block_size, k = 1 << 16, 1 << 14, 256
 
