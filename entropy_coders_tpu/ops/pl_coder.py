@@ -388,8 +388,12 @@ def _shard_over_blocks(fn, mesh, n_in):
                          out_specs=(spec, spec, spec), check_vma=False)
 
 
-FUSE_LANES = 16384  # target lanes per kernel invocation when fusing blocks
-                    # (k sweep at 16 MiB blocks: 8k 26.9, 16k 39.0, 32k 32.5 GB/s)
+FUSE_LANES = 8192  # target lanes per kernel invocation when fusing blocks.
+                   # NOT the same knob as a block's native k: single-table
+                   # k=16384 blocks decode fastest (39 vs 27 GB/s), but a
+                   # 16-block fusion at 16384 lanes measured 16.3 vs 28.0
+                   # GB/s at 8192 — the per-sublane table gather pays for
+                   # St=128 rows, so fused superblocks stay at 8192.
 
 
 def _fuse_factor(B: int, k: int, mesh) -> int:
