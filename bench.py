@@ -2,8 +2,8 @@
 
 Workload: synthetic geometric-ish bytes (the reference's own benchmark
 distribution, prob=0.2 — reference: benches/fse_benchmark.rs:30-35),
-4 MiB blocks, k=8192 per-lane tANS streams per block, per-block tables,
-one chip (MODE_FSE_PL, ops/pl_coder.py kernels).
+16 MiB blocks, k=16384 per-lane tANS streams per block, per-block
+tables, one chip (MODE_FSE_PL, ops/pl_coder.py kernels).
 
 Headline metric: steady-state decode throughput with compressed input and
 decoded output resident in device HBM — the device analog of the

@@ -680,7 +680,11 @@ def _decode_group_pl(items, raw_len, log2, pf, out, out_base,
             # bit-packed wire (FLAG_PACKED): compressed size table, then
             # bit-granularity lane streams (total bits, last dead bits 0)
             sz, lanes_sec = _unpack_size_table(sec, k)
-            if (sz < log2).any():
+            if (sz < log2).any() or (sz > (R + 1) * log2).any():
+                # the encoder never emits more than (R+1)*log2 bits per lane
+                # (_pl_eligible invariant); an oversized claim would make the
+                # words array allocation below scale with the claim, not the
+                # payload (memory-amplification guard)
                 raise ValueError(f"block {i}: bad lane sizes")
             total = int(sz.astype(np.int64).sum())
             if (total + 7) // 8 != len(lanes_sec):
@@ -695,7 +699,9 @@ def _decode_group_pl(items, raw_len, log2, pf, out, out_base,
         if len(sec) < 2 * k:
             raise ValueError(f"block {i}: truncated lane sizes")
         sz = np.frombuffer(sec[: 2 * k], "<u2").astype(np.int32)
-        if (sz < log2).any():
+        if (sz < log2).any() or (sz > (R + 1) * log2).any():
+            # see packed-branch comment: bounds the words allocation by the
+            # encoder invariant, not the attacker-controlled claim
             raise ValueError(f"block {i}: bad lane sizes")
         if int(((sz + 7) >> 3).sum()) != len(sec) - 2 * k:
             raise ValueError(f"block {i}: bad lane sizes")

@@ -17,12 +17,28 @@ from __future__ import annotations
 
 import mmap
 import os
+import tempfile
 
 import numpy as np
 
 from . import frame as F
 
 __all__ = ["compress_file", "decompress_file"]
+
+
+def _mkstemp_for(dst_path):
+    """Unique same-directory temp file for atomic replace of ``dst_path``.
+    Concurrent invocations targeting the same destination must never share
+    (or unlink) each other's in-progress file, so the name is randomized;
+    permissions are widened from mkstemp's 0600 to the umask default so the
+    renamed result matches a normally-created file."""
+    dst = os.fspath(dst_path)
+    fd, tmp_path = tempfile.mkstemp(dir=os.path.dirname(dst) or ".",
+                                    prefix=os.path.basename(dst) + ".tmp.")
+    umask = os.umask(0)
+    os.umask(umask)
+    os.chmod(tmp_path, 0o666 & ~umask)
+    return fd, tmp_path
 
 
 def compress_file(src_path, dst_path, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
@@ -47,10 +63,10 @@ def compress_file(src_path, dst_path, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
                           checksum, bit_pack)
     table_off = len(hdr)
     table_len = 4 * n_blocks * (2 if checksum else 1)
-    tmp_path = os.fspath(dst_path) + ".tmp"
+    fd, tmp_path = _mkstemp_for(dst_path)
     done = 0
     try:
-        with open(src_path, "rb") as fin, open(tmp_path, "wb") as fout:
+        with open(src_path, "rb") as fin, os.fdopen(fd, "wb") as fout:
             fout.write(hdr)
             fout.write(b"\0" * table_len)  # reserved; patched at the end
             while True:
@@ -93,7 +109,7 @@ def decompress_file(src_path, dst_path, *, chunk_blocks: int = 64,
     ONCE, and decoded ``chunk_blocks`` blocks at a time via the
     container's random-access property. Output is written atomically
     (same-directory temp + rename)."""
-    tmp_path = os.fspath(dst_path) + ".tmp"
+    fd, tmp_path = _mkstemp_for(dst_path)
     try:
         with open(src_path, "rb") as fin:
             try:
@@ -101,7 +117,7 @@ def decompress_file(src_path, dst_path, *, chunk_blocks: int = 64,
             except ValueError:  # empty file
                 mm = b""
             pf = F._parse_frame(mm)
-            with open(tmp_path, "wb") as fout:
+            with os.fdopen(fd, "wb") as fout:
                 for b_lo in range(0, pf.n_blocks, chunk_blocks):
                     start = b_lo * pf.block_size
                     length = min((b_lo + chunk_blocks) * pf.block_size,

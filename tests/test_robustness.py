@@ -140,6 +140,43 @@ def test_lane_sizes_tampered(pl_frame):
         F.decompress(bytes(bad), interpret=True)
 
 
+def test_lane_sizes_amplification_bounded(pl_frame):
+    """Sum-preserving tamper: inflate one lane's claimed bit size to near
+    u16-max while deflating others so the total payload length still
+    matches. The words allocation is sized from max(sz) * k * B, so
+    without the (R+1)*log2 bound a small frame could demand ~1000x its
+    size in host memory (and a MemoryError would escape the
+    ValueError-only contract). The encoder invariant check must fire."""
+    data, comp = pl_frame
+    pf = F._parse_frame(comp)
+    from entropy_coders_tpu.spec.histogram import NormHistogram
+    assert int(pf.modes[0]) == F.MODE_FSE_PL
+    sec = pf.section(0)
+    _, rest = NormHistogram.read(sec)
+    hdr_len = len(sec) - len(rest)
+    off = comp.find(sec) + hdr_len
+    k = pf.k
+    sz = np.frombuffer(comp[off : off + 2 * k], "<u2").astype(np.int64)
+    # move whole bytes from other lanes onto lane 0, keeping sum(ceil(sz/8))
+    # and every lane >= log2 so only the amplification bound can catch it
+    tampered = sz.copy()
+    budget = 60000 - int(sz[0])
+    for j in range(1, k):
+        if budget <= 0:
+            break
+        give = min(int(tampered[j]) - 16 & ~7, budget & ~7)
+        if give > 0:
+            tampered[j] -= give
+            tampered[0] += give
+            budget -= give
+    assert tampered[0] > 16 * (pf.block_size // k)  # far past (R+1)*log2
+    assert ((tampered + 7) // 8).sum() == ((sz + 7) // 8).sum()
+    bad = bytearray(comp)
+    bad[off : off + 2 * k] = tampered.astype("<u2").tobytes()
+    with pytest.raises(ValueError, match="bad lane sizes"):
+        F.decompress(bytes(bad), interpret=True)
+
+
 def test_packed_size_table_bomb_bounded():
     """A crafted low-entropy FSE stream in a FLAG_PACKED size table must
     not amplify into unbounded output on the spec-decoder fallback
