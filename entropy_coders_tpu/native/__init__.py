@@ -31,7 +31,7 @@ def _load():
         lib = ctypes.CDLL(str(path))
         lib.ect_compress.restype = ctypes.c_int
         lib.ect_compress.argtypes = [
-            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
             ctypes.c_void_p, ctypes.c_size_t, ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.ect_decompress.restype = ctypes.c_int
@@ -85,8 +85,9 @@ def available() -> bool:
     return _load() is not None
 
 
-def compress(data, k: int = 1) -> bytes:
-    """Reference-format compress (header + k-way payload)."""
+def compress(data, k: int = 1, table_log: int | None = None) -> bytes:
+    """Reference-format compress (header + k-way payload).
+    ``table_log=None`` picks the reference's ``optimal_log2``."""
     lib = _load()
     if lib is None:
         raise RuntimeError(f"native codec unavailable: {_load_error}")
@@ -94,7 +95,9 @@ def compress(data, k: int = 1) -> bytes:
     cap = 1024 + len(data) + (len(data) >> 6)
     out = ctypes.create_string_buffer(cap)
     out_len = ctypes.c_size_t()
-    rc = lib.ect_compress(data, len(data), k, out, cap, ctypes.byref(out_len))
+    rc = lib.ect_compress(data, len(data), k,
+                          -1 if table_log is None else table_log,
+                          out, cap, ctypes.byref(out_len))
     if rc != 0:
         raise ValueError(f"native compress failed (rc={rc})")
     return out.raw[: out_len.value]

@@ -494,13 +494,15 @@ struct Encoder {
 extern "C" {
 
 // Compress with a k-way interleaved frame (header + payload), identical
-// bytes to spec.codec.fse_compress. Returns 0 on success.
-int ect_compress(const uint8_t* src, size_t n, int k, uint8_t* dst,
+// bytes to spec.codec.fse_compress. log2 < 0 picks optimal_log2 (the
+// reference's fse_compress behavior, src/histogram.rs:299-303); an
+// explicit log2 mirrors Histogram::normalize(log2). Returns 0 on success.
+int ect_compress(const uint8_t* src, size_t n, int k, int log2, uint8_t* dst,
                  size_t dst_cap, size_t* out_len) {
   if (n < (size_t)(k > 2 ? k : 2) || k < 1 || k > 65535) return 1;
   uint32_t counts[256] = {0};
   for (size_t i = 0; i < n; i++) counts[src[i]]++;
-  int l2 = optimal_log2(counts, n);
+  int l2 = log2 < 0 ? optimal_log2(counts, n) : log2;
   if (l2 < 0) return 2;
   NormHist h;
   if (!normalize(counts, n, l2, &h)) return 2;

@@ -77,14 +77,13 @@ def test_stream_golden_decodes_spec_and_native(case):
     "case", [c for c in CASES if c["codec"] == "stream"],
     ids=lambda c: c["name"])
 def test_stream_golden_compress_native(case):
-    """The native C++ encoder produces the same pinned bytes (it picks
-    its own optimal log2, so only cases without an explicit table_log)."""
+    """The native C++ encoder produces the same pinned bytes (explicit
+    table_log cases pass it through; the rest use its optimal_log2)."""
     if not native.available():
         pytest.skip("native module unavailable")
-    if "table_log" in case:
-        pytest.skip("native compress uses optimal_log2")
     data = _case_data(case)
-    assert native.compress(data.tobytes(), k=case["k"]) == \
+    assert native.compress(data.tobytes(), k=case["k"],
+                           table_log=case.get("table_log")) == \
         _golden_bytes(case["name"])
 
 
