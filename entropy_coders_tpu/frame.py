@@ -128,6 +128,7 @@ def compress(
     block_size: int = DEFAULT_BLOCK_SIZE,
     k: int = DEFAULT_K,
     shared_table: bool = False,
+    shared_hist=None,
     table_log: int | None = None,
     sharding=None,
     lanes: bool | None = None,
@@ -148,7 +149,11 @@ def compress(
     granularity like the reference's single stream (reference:
     src/bitstream/writer.rs:177-222), recovering the <= 7 dead bits each
     byte-aligned lane otherwise carries, at the cost of a slower host
-    repack."""
+    repack. ``shared_hist`` (with ``shared_table=True``) supplies a
+    precomputed ``(norm_table, log2)`` pair to use as the shared table
+    instead of histogramming ``data`` — the multi-host path passes the
+    globally all-reduced histogram so every host's sub-frame carries the
+    identical header (parallel/multihost.py)."""
     if lanes is None:
         lanes = jax.default_backend() == "tpu"
     if table_log is None:
@@ -169,14 +174,25 @@ def compress(
     shared_hdr = b""
     s_shared = None
     if shared_table:
-        # one histogram over everything, one table for every block
-        counts_all = np.bincount(data, minlength=256).astype(np.uint32)
-        if np.count_nonzero(counts_all) <= 1:
-            shared_table = False  # degenerate data: everything goes RLE/RAW
-        else:
-            tables, log2s = normalize_batch(counts_all[None], total_len, table_log)
+        if shared_hist is not None:
+            # precomputed global histogram (multi-host: every process
+            # normalizes the allgathered counts identically and passes
+            # the result here, so all sub-frames share one table even
+            # though no process saw the whole input)
+            tables = np.asarray(shared_hist[0], np.int32)[None]
+            log2s = np.array([int(shared_hist[1])])
             s_shared = (tables[0], int(log2s[0]))
             shared_hdr = _write_header(tables[0], int(log2s[0]))
+        else:
+            # one histogram over everything, one table for every block
+            counts_all = np.bincount(data, minlength=256).astype(np.uint32)
+            if np.count_nonzero(counts_all) <= 1:
+                shared_table = False  # degenerate data: all RLE/RAW
+            else:
+                tables, log2s = normalize_batch(counts_all[None], total_len,
+                                                table_log)
+                s_shared = (tables[0], int(log2s[0]))
+                shared_hdr = _write_header(tables[0], int(log2s[0]))
 
     nsym = None
     if full:

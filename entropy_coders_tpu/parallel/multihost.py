@@ -92,38 +92,80 @@ def compress(data, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
     returns the identical global frame.
 
     ``sharding`` optionally spreads each host's own blocks over its
-    local-chip mesh as in ``parallel.compress``. ``shared_table`` is not
-    supported (a global table needs a histogram all-reduce before any
-    host can encode; per-block tables are the multi-host default)."""
-    if kwargs.get("shared_table"):
-        raise NotImplementedError("multihost compress: per-block tables only")
+    local-chip mesh as in ``parallel.compress``.
+
+    ``shared_table=True`` builds ONE table for the whole input across
+    all hosts (the multi-host analog of the reference's single-table
+    frame, reference src/lib.rs:112-143): each process histograms only
+    its owned bytes, the 256-counter tables are summed via one DCN
+    allgather, every process normalizes the identical global counts,
+    and the merged frame carries the single shared header."""
     data = np.frombuffer(bytes(data), np.uint8) \
         if not isinstance(data, np.ndarray) else np.asarray(data, np.uint8)
     total_len = len(data)
     n_blocks = -(-total_len // block_size) if total_len else 0
     lo, hi = owned_blocks(n_blocks)
     local = data[lo * block_size: min(hi * block_size, total_len)]
+
+    shared_table = bool(kwargs.pop("shared_table", False))
+    shared_hdr = b""
+    if shared_table:
+        from jax.experimental import multihost_utils
+
+        from ..normalize import normalize_batch
+
+        # 256-counter histogram all-reduce over DCN: local count ->
+        # allgather -> identical elementwise sum everywhere
+        counts_local = np.bincount(local, minlength=256).astype(np.int64)
+        gathered = np.asarray(
+            multihost_utils.process_allgather(counts_local))
+        counts_all = gathered.reshape(-1, 256).sum(axis=0)
+        if np.count_nonzero(counts_all) <= 1:
+            shared_table = False  # degenerate everywhere: RLE/RAW blocks
+        else:
+            lanes = kwargs.get("lanes")
+            if lanes is None:
+                import jax as _jax
+                lanes = _jax.default_backend() == "tpu"
+            table_log = kwargs.get("table_log")
+            if table_log is None:
+                table_log = F.PL_TABLE_LOG if lanes else F.TABLE_LOG_DEFAULT
+            tables, log2s = normalize_batch(
+                counts_all[None].astype(np.uint32), total_len, table_log)
+            kwargs["shared_hist"] = (tables[0], int(log2s[0]))
+            shared_hdr = F._write_header(tables[0], int(log2s[0]))
+
     local_frame = F.compress(local, block_size=block_size, k=k,
+                             shared_table=shared_table,
                              checksum=checksum, sharding=sharding, **kwargs)
     frames = _allgather_bytes(local_frame)
     return _merge_frames(frames, total_len, block_size, k, checksum,
-                         bool(kwargs.get("bit_pack", False)))
+                         bool(kwargs.get("bit_pack", False)),
+                         shared_hdr=shared_hdr if shared_table else None)
 
 
 def _merge_frames(frames: list[bytes], total_len: int, block_size: int,
-                  k: int, checksum: bool, packed: bool = False) -> bytes:
+                  k: int, checksum: bool, packed: bool = False,
+                  shared_hdr: bytes | None = None) -> bytes:
     """Concatenate per-host sub-frames (contiguous block ranges, same
     block_size/k) into one global frame. Every host runs this on the
-    same gathered inputs, so every host holds the identical frame."""
+    same gathered inputs, so every host holds the identical frame.
+    ``shared_hdr`` (FLAG_SHARED mode) is the single global histogram
+    header every sub-frame must carry verbatim."""
+    import struct
+
     entries, crcs, payloads = [], [], []
     n_blocks = 0
     for sub in frames:
         pf = F._parse_frame(sub)
         if pf.n_blocks == 0:
             continue
-        if (pf.block_size != block_size or pf.k != k or pf.shared
+        if (pf.block_size != block_size or pf.k != k
+                or pf.shared != (shared_hdr is not None)
                 or pf.packed != packed):
             raise ValueError("multihost merge: sub-frame layout mismatch")
+        if shared_hdr is not None and pf.shared_hdr != shared_hdr:
+            raise ValueError("multihost merge: shared table mismatch")
         ent, sub_crcs, payload = F._subframe_parts(pf)
         entries.append(ent)
         if checksum:
@@ -134,8 +176,10 @@ def _merge_frames(frames: list[bytes], total_len: int, block_size: int,
         n_blocks += pf.n_blocks
     if n_blocks != (total_len + block_size - 1) // block_size:
         raise ValueError("multihost merge: block count mismatch")
-    parts = [F._frame_header(total_len, k, block_size, n_blocks, False,
-                             checksum, packed)]
+    parts = [F._frame_header(total_len, k, block_size, n_blocks,
+                             shared_hdr is not None, checksum, packed)]
+    if shared_hdr is not None:
+        parts.append(struct.pack("<H", len(shared_hdr)) + shared_hdr)
     if entries:
         parts.append(np.concatenate(entries).astype("<u4").tobytes())
     if checksum and crcs:

@@ -46,7 +46,19 @@ def main():
     assert start == lo * 4096
     assert local == data.tobytes()[start:min(hi * 4096, len(data))]
 
-    print("OK", hashlib.sha256(global_frame).hexdigest(), flush=True)
+    # shared-table mode: per-process histograms all-reduce into ONE
+    # global table; the merged frame must be byte-identical to the
+    # single-process shared frame (FLAG_SHARED, one header)
+    shared_frame = MH.compress(data, shared_table=True, **kwargs)
+    single_shared = F.compress(data, shared_table=True, **kwargs)
+    assert shared_frame == single_shared, \
+        "multihost shared-table frame != single-process shared frame"
+    pf = F._parse_frame(shared_frame)
+    assert pf.shared and len(pf.shared_hdr) > 0
+    assert MH.decompress(shared_frame, interpret=True) == data.tobytes()
+
+    digest = hashlib.sha256(global_frame + shared_frame).hexdigest()
+    print("OK", digest, flush=True)
 
 
 if __name__ == "__main__":
