@@ -2,7 +2,7 @@
 
 Usage:
     python -m entropy_coders_tpu compress   <in> <out> [--block-size N]
-        [--k N] [--table-log N] [--shared-table] [--no-lanes]
+        [--k N] [--table-log N|auto] [--shared-table] [--no-lanes]
     python -m entropy_coders_tpu decompress <in> <out>
     python -m entropy_coders_tpu stat       <in>
 
@@ -28,7 +28,9 @@ def main(argv=None) -> int:
     c.add_argument("outfile")
     c.add_argument("--block-size", type=int, default=None)
     c.add_argument("--k", type=int, default=None)
-    c.add_argument("--table-log", type=int, default=None)
+    c.add_argument("--table-log", default=None,
+               type=lambda v: v if v == "auto" else int(v),
+               help="5..15, or 'auto' for per-block optimal")
     c.add_argument("--shared-table", action="store_true")
     c.add_argument("--no-lanes", action="store_true")
     c.add_argument("--checksum", action="store_true")

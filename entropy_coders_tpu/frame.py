@@ -141,7 +141,10 @@ def compress(
     ``lanes`` selects the per-lane-stream block mode (MODE_FSE_PL, Pallas
     TPU kernels): None = auto (on TPU backends when eligible), True/False
     to force. ``table_log`` defaults to PL_TABLE_LOG on the lanes path and
-    TABLE_LOG_DEFAULT otherwise. ``interpret`` runs the Pallas kernels in
+    TABLE_LOG_DEFAULT otherwise; ``"auto"`` applies the reference's
+    per-block ``optimal_log2`` policy (src/histogram.rs:264-277) — each
+    block gets its own log, and blocks group by (len, log) for the
+    batched kernels. ``interpret`` runs the Pallas kernels in
     interpreter mode (for CPU testing). ``checksum`` appends a per-block
     crc32 table, verified on decompress (the reference format has no
     integrity checking — corruption decodes to garbage silently).

@@ -27,22 +27,50 @@ def table_lens(counts: np.ndarray) -> np.ndarray:
     return np.where(nz.any(axis=1), 255 - np.argmax(nz[:, ::-1], axis=1) + 1, 1)
 
 
-def effective_log2(counts: np.ndarray, size: int, log2: int) -> np.ndarray:
-    """Per-row effective log2 after the reference's clamp
-    (src/histogram.rs:96-98)."""
+def _ilog2_scalar(x: int) -> int:
+    return max(int(x), 1).bit_length() - 1
+
+
+def optimal_log2s(counts: np.ndarray, size: int) -> np.ndarray:
+    """Per-row reference ``optimal_log2`` (src/histogram.rs:264-277):
+    ``min(11, ilog2(size-1)-2)`` raised to
+    ``min(ilog2(size)+1, ilog2(table_len-1)+2)``, clamped to [5, 15].
+    Vectorized over (B, 256) histograms of equal-``size`` blocks."""
+    if size < 2 or _ilog2_scalar(size - 1) - 2 < 0:
+        raise ValueError("input too small to normalize")
     tl = table_lens(counts)
-    base = min(max(log2, TABLE_LOG_MIN), TABLE_LOG_MAX)
+    min_bits_symbols = (
+        np.floor(np.log2(np.maximum(tl - 1, 1))).astype(np.int64) + 2)
+    min_bits = np.minimum(_ilog2_scalar(size) + 1, min_bits_symbols)
+    from .constants import TABLE_LOG_DEFAULT
+
+    v = min(TABLE_LOG_DEFAULT, _ilog2_scalar(size - 1) - 2)
+    return np.clip(np.maximum(v, min_bits), TABLE_LOG_MIN, TABLE_LOG_MAX)
+
+
+def effective_log2(counts: np.ndarray, size: int, log2) -> np.ndarray:
+    """Per-row effective log2 after the reference's clamp
+    (src/histogram.rs:96-98). ``log2`` may be a scalar, a per-row array,
+    or the string ``"auto"`` (per-row reference ``optimal_log2``)."""
+    tl = table_lens(counts)
+    if isinstance(log2, str):
+        if log2 != "auto":
+            raise ValueError(f"bad table_log {log2!r}")
+        base = optimal_log2s(counts, size)
+    else:
+        base = np.clip(np.asarray(log2), TABLE_LOG_MIN, TABLE_LOG_MAX)
     min_l2 = np.floor(np.log2(np.maximum(tl - 1, 1))).astype(np.int64) + 2
     return np.maximum(base, min_l2)
 
 
-def normalize_batch(counts: np.ndarray, size: int, log2: int):
+def normalize_batch(counts: np.ndarray, size: int, log2):
     """Normalize (B, 256) uint histograms of equal-size blocks.
 
     Returns ``(tables (B,256) int32, log2s (B,) int64)``. ``log2`` is the
-    requested table log; per-row it may be raised by the reference's
-    table_len clamp (rare: only for blocks with few distinct symbols).
-    """
+    requested table log (scalar, per-row array, or ``"auto"`` for the
+    reference's per-block ``optimal_log2`` policy); per-row it may be
+    raised by the reference's table_len clamp (rare: only for blocks
+    with few distinct symbols)."""
     counts = np.asarray(counts, dtype=np.uint64)
     B = counts.shape[0]
     log2s = effective_log2(counts, size, log2)

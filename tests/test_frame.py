@@ -117,3 +117,44 @@ def test_range_outside_frame_raises(rng):
         F.decompress(comp, start=5000, length=10)
     with _pytest.raises(ValueError):
         F.decompress(comp, start=0, length=99999)
+
+
+def test_auto_table_log_mixed_corpus(rng):
+    """table_log="auto" (the reference's per-block optimal_log2 policy,
+    src/histogram.rs:264-277) round-trips heterogeneous logs in one frame
+    and beats the fixed default ratio on mixed-entropy data."""
+    parts = [
+        rng.integers(0, 4, 1 << 12).astype(np.uint8),
+        rng.integers(0, 256, 1 << 12, dtype=np.uint8),
+        np.repeat(rng.integers(0, 256, 64).astype(np.uint8), 64),
+        gen_sequence(0.5, 1 << 12),
+        gen_sequence(0.05, 123),  # ragged tail
+    ]
+    data = np.concatenate(parts)
+    for lanes in (False, True):
+        auto = F.compress(data, block_size=1 << 12, k=16, lanes=lanes,
+                          table_log="auto", interpret=True)
+        fixed = F.compress(data, block_size=1 << 12, k=16, lanes=lanes,
+                           interpret=True)
+        out = F.decompress(auto, interpret=True)
+        np.testing.assert_array_equal(np.frombuffer(out, np.uint8), data)
+        assert len(auto) <= len(fixed)
+
+
+def test_auto_table_log_matches_spec_choice(rng):
+    """Every FSE block in an auto frame carries exactly the log the
+    reference's Histogram::optimal_log2 would pick for that block."""
+    from entropy_coders_tpu.spec.histogram import Histogram, NormHistogram
+    data = np.concatenate([
+        rng.integers(0, 7, 1 << 12).astype(np.uint8),
+        gen_sequence(0.3, 1 << 12),
+    ])
+    comp = F.compress(data, block_size=1 << 12, k=16, lanes=False,
+                      table_log="auto")
+    pf = F._parse_frame(comp)
+    for i in range(pf.n_blocks):
+        if int(pf.modes[i]) != F.MODE_FSE:
+            continue
+        hist, _ = NormHistogram.read(pf.section(i))
+        block = data[i << 12 : (i + 1) << 12]
+        assert hist.log2 == Histogram(block).optimal_log2()
