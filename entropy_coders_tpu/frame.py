@@ -397,26 +397,42 @@ def _encode_group_pl(blocks_src, norm_tables, l2, k, shared_table,
     mesh = sharding.mesh if sharding is not None else None
     R = n // k - 1
     W = PL.encode_w_bound(R, int(l2))
-    words, sizes = PL.encode_lanes_norm(blocks_src, norm_tables, k=k,
-                                        L=int(l2), W=W,
-                                        interpret=interpret, mesh=mesh)
-    merge = PL.lane_merge_bits if bit_pack else PL.lane_merge
-    for j in range(B):
-        payload = merge(words[j], sizes[j])
-        st = sizes[j].astype("<u2").tobytes()
-        if bit_pack:
-            # FLAG_PACKED also FSE-compresses the lane-size table: the
-            # u16 lo/hi byte planes map exactly onto the reference's
-            # 2-stream interleave (even index = lo, odd = hi), and the
-            # near-constant hi plane compresses to almost nothing. The
-            # table is 2 bytes/lane — up to 12% of small-k blocks.
-            sec = _pack_size_table(st) + payload
-        else:
-            sec = st + payload
-        if not shared_table:
-            sec = _write_header(norm_tables[j], int(l2)) + sec
-        sections[block_ids[j]] = sec
-        modes[block_ids[j]] = MODE_FSE_PL
+
+    def _drain(j0, words, szs):
+        # host side of the pipeline: threaded native merge + section
+        # assembly for one chunk, overlapping the device encode of the
+        # chunks dispatched after it
+        payloads = PL.lane_merge_batch(words, szs, pack_bits=bit_pack)
+        for jj in range(words.shape[0]):
+            j = j0 + jj
+            st = szs[jj].astype("<u2").tobytes()
+            if bit_pack:
+                # FLAG_PACKED also FSE-compresses the lane-size table:
+                # the u16 lo/hi byte planes map exactly onto the
+                # reference's 2-stream interleave (even index = lo, odd
+                # = hi), and the near-constant hi plane compresses to
+                # almost nothing. The table is 2 bytes/lane — up to 12%
+                # of small-k blocks.
+                sec = _pack_size_table(st) + payloads[jj]
+            else:
+                sec = st + payloads[jj]
+            if not shared_table:
+                sec = _write_header(norm_tables[j], int(l2)) + sec
+            sections[block_ids[j]] = sec
+            modes[block_ids[j]] = MODE_FSE_PL
+
+    # chunked pipeline (~64 MiB raw per chunk): every chunk's kernel is
+    # DISPATCHED up front (async), then chunks drain in order — the host
+    # merge of chunk i overlaps the device encode of chunks i+1... With
+    # a mesh the batch stays one call (its padding owns the batch shape).
+    chunk = B if mesh is not None else max(1, _cdiv(64 << 20, n))
+    handles = [(j0, PL.encode_lanes_norm(blocks_src[j0 : j0 + chunk],
+                                         norm_tables[j0 : j0 + chunk], k=k,
+                                         L=int(l2), W=W, interpret=interpret,
+                                         mesh=mesh, lazy=True))
+               for j0 in range(0, B, chunk)]
+    for j0, collect in handles:
+        _drain(j0, *collect())
 
 
 def _encode_group(blocks, norm_tables, log2_arr, k, shared_table,
@@ -692,7 +708,7 @@ def _decode_group_pl(items, raw_len, log2, pf, out, out_base,
     mesh = sharding.mesh if sharding is not None else None
     B = len(items)
     sizes = np.zeros((B, k), np.int32)
-    words_list = []
+    payloads = []
     norm_tables = np.zeros((B, 256), np.int32)
     for j, (i, sec, nt) in enumerate(items):
         if pf.packed:
@@ -711,8 +727,7 @@ def _decode_group_pl(items, raw_len, log2, pf, out, out_base,
             if total & 7 and lanes_sec[-1] >> (total & 7):
                 raise ValueError(f"block {i}: lane framing error")
             sizes[j] = sz
-            w, Wb = PL.lane_split_bits(lanes_sec, sz, k)
-            words_list.append(w)
+            payloads.append(lanes_sec)
             norm_tables[j] = nt
             continue
         if len(sec) < 2 * k:
@@ -732,22 +747,38 @@ def _decode_group_pl(items, raw_len, log2, pf, out, out_base,
         if (last >> (((sz - 1) & 7) + 1)).any():
             raise ValueError(f"block {i}: lane framing error")
         sizes[j] = sz
-        w, Wb = PL.lane_split(sec[2 * k:], sz, k)
-        words_list.append(w)
+        payloads.append(sec[2 * k:])
         norm_tables[j] = nt
-    W = -(-max(w.shape[0] for w in words_list) // 16) * 16  # bucket compiles
-    words = np.zeros((B, W, k), np.uint32)
-    for j, w in enumerate(words_list):
-        words[j, : w.shape[0]] = w
-    syms, finals = PL.decode_lanes_norm(words, sizes, norm_tables, k=k,
-                                        L=log2, R=R, interpret=interpret,
-                                        mesh=mesh)
-    syms = np.asarray(syms)
-    finals = np.asarray(finals)
-    for j, (i, _, _) in enumerate(items):
-        o = i * pf.block_size - out_base
-        out[o : o + R * k] = syms[j].reshape(-1)
-        out[o + R * k : o + raw_len] = finals[j]
+    # common padded width for the whole group (bucketed to bound compile
+    # shapes); the split itself is one batched native call per chunk
+    # (OpenMP-threaded over blocks)
+    W = -(-(int(sizes.max()) // 32 + 3) // 16) * 16
+
+    def _drain(j0, collect):
+        syms, finals = collect()
+        syms = np.asarray(syms)
+        finals = np.asarray(finals)
+        for jj in range(syms.shape[0]):
+            i = items[j0 + jj][0]
+            o = i * pf.block_size - out_base
+            out[o : o + R * k] = syms[jj].reshape(-1)
+            out[o + R * k : o + raw_len] = finals[jj]
+
+    # chunked pipeline (~64 MiB raw per chunk): the host splits + H2Ds
+    # every chunk and dispatches its decode kernel asynchronously, then
+    # drains in order — writeback of chunk i overlaps the device decode
+    # of chunks i+1... One call with a mesh (its padding owns B).
+    chunk = B if mesh is not None else max(1, _cdiv(64 << 20, raw_len))
+    handles = []
+    for j0 in range(0, B, chunk):
+        words = PL.lane_split_batch(payloads[j0 : j0 + chunk],
+                                    sizes[j0 : j0 + chunk], k, W,
+                                    pack_bits=bool(pf.packed))
+        handles.append((j0, PL.decode_lanes_norm(
+            words, sizes[j0 : j0 + chunk], norm_tables[j0 : j0 + chunk],
+            k=k, L=log2, R=R, interpret=interpret, mesh=mesh, lazy=True)))
+    for j0, collect in handles:
+        _drain(j0, collect)
 
 
 def _decode_group(items, raw_len, log2, pf, out, out_base, sharding=None):

@@ -74,6 +74,17 @@ def _load():
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_void_p,
             ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
         ]
+        lib.ect_lane_merge_batch.restype = ctypes.c_int
+        lib.ect_lane_merge_batch.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32,
+        ]
+        lib.ect_lane_split_batch.restype = ctypes.c_int
+        lib.ect_lane_split_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int32,
+        ]
         _lib = lib
     except Exception as e:  # toolchain missing etc. — soft-fail
         _load_error = str(e)
@@ -160,6 +171,64 @@ def normalize(counts, size: int, log2: int = -1) -> tuple[np.ndarray, int]:
     if l2 < 0:
         raise ValueError("normalization failed (degenerate input)")
     return table, int(l2)
+
+
+def lane_merge_batch(words: np.ndarray, sizes_bits: np.ndarray,
+                     pack_bits: bool = False) -> list[bytes]:
+    """Batched lane merge of a whole block group: ``words (B, W, k)``,
+    ``sizes_bits (B, k)`` -> one payload per block, in ONE native call,
+    OpenMP-parallel over blocks (the per-block loop was the host-side
+    e2e compress bottleneck)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    words = np.ascontiguousarray(words, np.uint32)
+    B, W, k = words.shape
+    sizes = np.ascontiguousarray(sizes_bits, np.int32).reshape(B, k)
+    if pack_bits:
+        totals = (sizes.astype(np.int64).sum(axis=1) + 7) // 8
+        caps = totals + 8  # bit-RMW slack per block
+    else:
+        totals = ((sizes.astype(np.int64) + 7) // 8).sum(axis=1)
+        caps = totals
+    offs = np.concatenate([[0], np.cumsum(caps)]).astype(np.int64)
+    out = np.zeros(int(offs[-1]), np.uint8)
+    rc = lib.ect_lane_merge_batch(
+        words.ctypes.data_as(ctypes.c_void_p), B, W, k,
+        sizes.ctypes.data_as(ctypes.c_void_p),
+        offs.ctypes.data_as(ctypes.c_void_p),
+        out.ctypes.data_as(ctypes.c_void_p), 1 if pack_bits else 0)
+    if rc != 0:
+        raise ValueError(f"lane merge failed for block {-rc - 1}")
+    return [out[int(offs[b]): int(offs[b] + totals[b])].tobytes()
+            for b in range(B)]
+
+
+def lane_split_batch(payloads: list[bytes], sizes_bits: np.ndarray,
+                     k: int, W: int, pack_bits: bool = False) -> np.ndarray:
+    """Batched inverse of lane_merge_batch: one native call fills the
+    whole group's ``(B, W, k)`` uint32 kernel layout, OpenMP-parallel
+    over blocks."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    B = len(payloads)
+    sizes = np.ascontiguousarray(sizes_bits, np.int32).reshape(B, k)
+    if pack_bits:  # the bit extractor reads 8 bytes past each payload
+        payloads = [bytes(p) + b"\0" * 8 for p in payloads]
+        plens = np.array([len(p) - 8 for p in payloads], np.int64)
+    else:
+        payloads = [bytes(p) for p in payloads]
+        plens = np.array([len(p) for p in payloads], np.int64)
+    ptrs = (ctypes.c_char_p * B)(*payloads)
+    out = np.zeros((B, W, k), np.uint32)
+    rc = lib.ect_lane_split_batch(
+        ptrs, plens.ctypes.data_as(ctypes.c_void_p), B,
+        sizes.ctypes.data_as(ctypes.c_void_p), k, W,
+        out.ctypes.data_as(ctypes.c_void_p), 1 if pack_bits else 0)
+    if rc != 0:
+        raise ValueError(f"lane payload too short (block {-rc - 1})")
+    return out
 
 
 def lane_split(payload: bytes, sizes_bits: np.ndarray, k: int, W: int) -> np.ndarray:

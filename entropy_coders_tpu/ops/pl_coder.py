@@ -400,10 +400,17 @@ def _fuse_factor(B: int, k: int, mesh) -> int:
     """How many blocks to fuse into one superblock call: small-k blocks
     pack side-by-side up to FUSE_LANES lanes — per-sublane tables make
     this free (see _gather_rows). Disabled under a mesh (the block axis
-    must stay divisible by the mesh; sharded callers use large k)."""
+    must stay divisible by the mesh; sharded callers use large k).
+
+    Floor: the fused call must span >= 1024 lanes (S >= 8 sublane rows)
+    even when B is small — real Mosaic cannot lower the S=1 per-sublane
+    gather ("Shape mismatch in input, indices and output", found by
+    tests/tpu_smoke.py on a lone k=128 block), and S < 8 underfills the
+    8-sublane VPU tile anyway. Callers pad B with copies of block 0."""
     if mesh is not None:
         return 1
-    return max(1, min(B, FUSE_LANES // k))
+    f = max(1, min(B, FUSE_LANES // k))
+    return max(f, _cdiv(1024, k)) if k < 1024 else f
 
 
 def _expand_tbl(rows_list, S_each, F):
@@ -518,13 +525,18 @@ def _bucket_b(b: int) -> int:
 
 
 def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
-                      interpret=False, mesh=None):
+                      interpret=False, mesh=None, lazy=False):
     """Device-native encode_lanes: takes raw blocks (B, n) uint8 with
     n = (R+1)*k and builds the tANS tables on device from the (B, 256)
     int32 normalized histograms (must all share table log ``L``) instead
     of taking host-built tables. Inputs may be host or device arrays; one
     h2d for the data, one d2h for the results.
-    Returns (words (B, w_act, k) uint32, sizes (B, k) int32)."""
+    Returns (words (B, w_act, k) uint32, sizes (B, k) int32).
+
+    ``lazy=True`` returns a zero-arg collect closure instead: the kernel
+    is dispatched asynchronously and the D2H sync happens only when the
+    closure runs — callers pipeline chunks by dispatching several and
+    collecting in order (frame._encode_group_pl)."""
     B, n = blocks.shape
     if n % k or k % 128:
         raise ValueError("k must be a multiple of 128 and divide n")
@@ -547,14 +559,18 @@ def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
         call = jax.shard_map(call, mesh=mesh, in_specs=(spec,) * 2,
                              out_specs=(spec, spec), check_vma=False)
     words, sizes = call(jnp.asarray(blocks), jnp.asarray(norm_tables))
-    # pull the (small) sizes first, then transfer only the word rows that
-    # are actually populated — W is the worst-case bound, typically ~2x
-    # the real maximum. w_act is bucketed to multiples of 16 to bound the
-    # number of _unfuse_words compilations.
-    sizes = np.asarray(sizes)[:B]
-    w_act = min(_cdiv(int(sizes.max()) // 32 + 2, 16) * 16, W)
-    out = _unfuse_words(words, w_act=w_act, F=F, k=k)[:B]
-    return np.asarray(out).view(np.uint32), sizes
+
+    def collect():
+        # pull the (small) sizes first, then transfer only the word rows
+        # that are actually populated — W is the worst-case bound,
+        # typically ~2x the real maximum. w_act is bucketed to multiples
+        # of 16 to bound the number of _unfuse_words compilations.
+        s = np.asarray(sizes)[:B]
+        w_act = min(_cdiv(int(s.max()) // 32 + 2, 16) * 16, W)
+        out = _unfuse_words(words, w_act=w_act, F=F, k=k)[:B]
+        return np.asarray(out).view(np.uint32), s
+
+    return collect if lazy else collect()
 
 
 @functools.partial(jax.jit, static_argnames=("k", "L", "R", "F",
@@ -591,13 +607,15 @@ def _decode_e2e(words, sizes, norm_tables, *, k, L, R, F, interpret):
 
 
 def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
-                      interpret=False, mesh=None):
+                      interpret=False, mesh=None, lazy=False):
     """Device-native decode_lanes: builds the decode tables on device from
     the (B, 256) int32 normalized histograms (all sharing table log
     ``L``). words is (B, W, k) uint32 host or device; returns
     (syms (B, R, k) uint8, finals (B, k) uint8) as device arrays (the
     caller picks when to pay the d2h). Raises ValueError on a corrupt
-    stream (any lane cursor not exactly drained)."""
+    stream (any lane cursor not exactly drained). ``lazy=True`` returns
+    a zero-arg collect closure (async dispatch; the sync and the error
+    check happen when it runs — see encode_lanes_norm)."""
     B, W, kk = words.shape
     if kk != k or k % 128:
         raise ValueError("k must be a multiple of 128 and match words")
@@ -629,9 +647,13 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
         call = jax.shard_map(call, mesh=mesh, in_specs=(spec,) * 3,
                              out_specs=(spec, spec, spec), check_vma=False)
     syms, finals, err = call(jnp.asarray(words), sizes, norm_tables)
-    if int(jnp.sum(err)) != 0:
-        raise ValueError("corrupt stream: lane cursor not drained")
-    return syms[:B], finals[:B]
+
+    def collect():
+        if int(jnp.sum(err)) != 0:
+            raise ValueError("corrupt stream: lane cursor not drained")
+        return syms[:B], finals[:B]
+
+    return collect if lazy else collect()
 
 
 def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
@@ -1133,3 +1155,38 @@ def lane_split_bits(payload: bytes, sizes_bits: np.ndarray, k: int):
             b[-1] &= (1 << (n & 7)) - 1
         cols[i, :nb] = b
     return np.ascontiguousarray(cols.view(np.uint32).reshape(k, W).T), W
+
+
+def lane_merge_batch(words, sizes_bits, pack_bits: bool = False):
+    """Batched lane merge of a whole block group: ``words (B, W, k)``,
+    ``sizes_bits (B, k)`` -> list of per-block wire payloads. One native
+    call, OpenMP-parallel over blocks (the per-block merge loop was the
+    host-side compress bottleneck — VERDICT r2 item 3); per-block
+    fallback otherwise (tests without g++)."""
+    words = np.asarray(words)
+    sizes_bits = np.asarray(sizes_bits)
+    from .. import native
+    if native.available():
+        return native.lane_merge_batch(words, sizes_bits, pack_bits)
+    merge = lane_merge_bits if pack_bits else lane_merge
+    return [merge(words[b], sizes_bits[b]) for b in range(words.shape[0])]
+
+
+def lane_split_batch(payloads, sizes_bits, k: int, W: int,
+                     pack_bits: bool = False) -> np.ndarray:
+    """Batched inverse of lane_merge_batch: fills the whole group's
+    ``(B, W, k)`` uint32 kernel layout in one native call (OpenMP over
+    blocks); per-block fallback otherwise."""
+    sizes_bits = np.asarray(sizes_bits)
+    from .. import native
+    if native.available():
+        return native.lane_split_batch(payloads, sizes_bits, k, W, pack_bits)
+    B = len(payloads)
+    out = np.zeros((B, W, k), np.uint32)
+    for b in range(B):
+        if pack_bits:
+            w, _ = lane_split_bits(payloads[b], sizes_bits[b], k)
+        else:
+            w, _ = lane_split(payloads[b], sizes_bits[b], k)
+        out[b, : w.shape[0]] = w
+    return out
