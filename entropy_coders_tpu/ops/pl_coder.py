@@ -460,6 +460,10 @@ def _pack_symt_dev(tt_bits, tt_fs, L):
     # 32-bit math is exact (and independent of jax_enable_x64)
     tb = tt_bits.astype(jnp.int32)
     fs = tt_fs.astype(jnp.int32)
+    if L <= 10:
+        # tb < (L+2)<<16 <= 2^20 and |fs| < 2^L: tb(20b) | fs+2^L(L+1 b)
+        # fits 31 bits — stores tt_bits directly (2-op in-kernel unpack)
+        return _rows_dev((tb << (L + 1)) | (fs + (1 << L)))
     mb = (tb + 0xFFFF) >> 16
     msp = (mb << 16) - tb
     if L <= 12:
@@ -734,12 +738,18 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         return jnp.where((idx & 1) == 1, _shr_u(v, 16), v & 0xFFFF)
 
     def _sym_transform(sym):
-        # L <= 12: one packed gather, mb(4b) | min_state_plus(14b) |
-        # fs+4096(13b) (tt_bits == (mb<<16) - msp, reference
-        # src/fse.rs:164-189; the ranges fit 31 bits for every L <= 12).
-        # L >= 13: the fields no longer fit one word (msp up to 2^16,
-        # |fs| < 2^15, mb up to 16) — two planes, two gathers:
-        # plane A = mb(5b) | fs+2^17(18b), plane B = msp(17b).
+        # L <= 10: one packed gather holding tt_bits directly —
+        # tb(20b, < (L+2)<<16) | fs+2^L(L+1 bits) — so the unpack is two
+        # ops (no mb/msp reconstruction). L in 11..12: one packed
+        # gather, mb(4b) | min_state_plus(14b) | fs+4096(13b) (tt_bits
+        # == (mb<<16) - msp, reference src/fse.rs:164-189; the ranges
+        # fit 31 bits for every L <= 12). L >= 13: the fields no longer
+        # fit one word (msp up to 2^16, |fs| < 2^15, mb up to 16) — two
+        # planes, two gathers: plane A = mb(5b) | fs+2^17(18b),
+        # plane B = msp(17b).
+        if L <= 10:
+            v = _gather_rows(symt[:2], sym, 2, S)
+            return _shr_u(v, L + 1), (v & ((2 << L) - 1)) - (1 << L)
         if L <= 12:
             v = _gather_rows(symt[:2], sym, 2, S)
             mb = _shr_u(v, 27)
@@ -845,6 +855,11 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         bhi = bhi | jnp.where(lo32, hiv, lov)
         return blo, bhi
 
+    # the epoch's emitted bits accumulate into ONE register word first
+    # (E*L <= 32 by _pick_e), then a single window insert — (E-1) fewer
+    # _put chains per epoch than inserting round by round
+    vacc = jnp.zeros((S, 128), jnp.int32)
+    bacc = jnp.zeros((S, 128), jnp.int32)
     for e in range(E):
         # rounds are consumed in reverse raw order (reference
         # src/lib.rs:120): the grid walks natural chunks back-to-front
@@ -858,8 +873,10 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         val = states & (lax.shift_left(jnp.int32(1), bits_out) - 1)
         nstate = _next_state(_shr_u(states, bits_out) + fs)
         states = jnp.where(active, nstate, states)
-        blo, bhi = _put(blo, bhi, c - wb * 32, val)
-        c = c + bits_out
+        vacc = vacc | lax.shift_left(val, bacc)
+        bacc = bacc + bits_out
+    blo, bhi = _put(blo, bhi, c - wb * 32, vacc)
+    c = c + bacc
 
     state_s[:], cur_s[:] = states, c
     wb_s[:], blo_s[:], bhi_s[:] = wb, blo, bhi
@@ -981,7 +998,10 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
         fs = np.asarray(fs, np.int64)
         mb = (tb + 0xFFFF) >> 16           # max_bits_out (ceil of tb/2^16)
         msp = (mb << 16) - tb              # min_state_plus
-        if L <= 12:
+        if L <= 10:
+            assert tb.max() < (L + 2) << 16 and np.abs(fs).max() < (1 << L)
+            symt.append(_table_rows((tb << (L + 1)) | (fs + (1 << L))))
+        elif L <= 12:
             assert mb.max() <= 15 and msp.max() <= 0x3FFF and np.abs(fs).max() < 4096
             symt.append(_table_rows((mb << 27) | (msp << 13) | (fs + 4096)))
         else:
