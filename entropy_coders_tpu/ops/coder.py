@@ -120,10 +120,12 @@ def _encode_core(
     return words, total_bits
 
 
-def encode_interleaved(data: np.ndarray, k: int, enc_table, table_log: int):
+def encode_interleaved(data: np.ndarray, k: int, enc_table, table_log: int,
+                       core=None):
     """Encode ``data`` (uint8 array, len >= max(k,2)) with ``k`` interleaved
     streams. Returns ``(payload_bytes, payload_bits)`` — byte-identical to
-    ``spec.codec.fse_compress``'s payload (header excluded)."""
+    ``spec.codec.fse_compress``'s payload (header excluded). ``core``
+    substitutes the jitted compute core (utils.checked sanitizer mode)."""
     data = np.asarray(data, dtype=np.uint8)
     n = len(data)
     m = n - k
@@ -138,7 +140,7 @@ def encode_interleaved(data: np.ndarray, k: int, enc_table, table_log: int):
     finish_slots = np.array([(n - 1 - s) % k for s in range(k - 1, -1, -1)], np.int32)
 
     W = _cdiv((R * k + k) * 16 + 32, 32) + 2
-    words, total_bits = _encode_core(
+    words, total_bits = (core or _encode_core)(
         jnp.asarray(syms),
         jnp.asarray(valid),
         jnp.asarray(init_syms),
@@ -207,10 +209,11 @@ def _decode_core(words, total_bits, packed, *, k: int, L: int, R: int):
 
 
 def decode_interleaved(payload: bytes, k: int, dec_table, table_log: int,
-                       max_out: int):
+                       max_out: int, core=None):
     """Decode one k-way interleaved payload (the reversed bit stack after
     the histogram header). Returns the decoded bytes or ``None`` on a
-    framing error. ``max_out`` bounds the output (capacity, not exact)."""
+    framing error. ``max_out`` bounds the output (capacity, not exact).
+    ``core`` substitutes the jitted compute core (utils.checked)."""
     buf = np.frombuffer(payload, dtype=np.uint8)
     if buf.size == 0:
         return None
@@ -231,7 +234,7 @@ def decode_interleaved(payload: bytes, k: int, dec_table, table_log: int,
 
     L = int(table_log)
     R = max(_cdiv(max_out, k), 1) + 1
-    syms, emit_count, finals, done, c = _decode_core(
+    syms, emit_count, finals, done, c = (core or _decode_core)(
         words, jnp.int32(total_bits), jnp.asarray(dec_table.packed),
         k=k, L=L, R=R,
     )

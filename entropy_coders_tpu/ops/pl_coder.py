@@ -1115,30 +1115,35 @@ def lane_merge_bits(words: np.ndarray, sizes_bits: np.ndarray) -> bytes:
     from .. import native
     if native.available():
         return native.lane_merge_bits(words, sizes_bits)
-    # numpy fallback: per-lane byte-shift-and-OR (O(payload) total work,
-    # not O(k * payload) as a big-int accumulator would be)
+    # numpy fallback, fully vectorized over lanes: every lane's bytes
+    # shift by (bit_offset & 7), so lanes group into at most 8 shift
+    # classes; each class is one masked scatter-add of all its lanes'
+    # (shifted) bytes at once. O(payload) work, O(8) python iterations.
     cols = np.ascontiguousarray(np.asarray(words, np.uint32).T)  # (k, W)
     cbytes = cols.view(np.uint8).reshape(k, W * 4)
     offs = np.concatenate([[0], np.cumsum(sizes_bits)])
     total = int(offs[-1])
+    nb = ((sizes_bits + 7) // 8).astype(np.int64)
+    maxnb = int(nb.max()) if k else 0
+    lanes = cbytes[:, :maxnb].copy()
+    col = np.arange(maxnb)[None, :]
+    lanes[col >= nb[:, None]] = 0  # zero bytes past each lane's size
+    top = (sizes_bits & 7).astype(np.int64)
+    last_mask = np.where(top, (1 << np.maximum(top, 1)) - 1, 0xFF)
+    lanes[np.arange(k), np.maximum(nb - 1, 0)] &= last_mask.astype(np.uint8)
     out = np.zeros((total + 7) // 8 + 1, np.uint8)
-    for i in range(k):
-        n = int(sizes_bits[i])
-        nb = (n + 7) // 8
-        b = cbytes[i, :nb].copy()
-        if n & 7:
-            b[-1] &= (1 << (n & 7)) - 1
-        off = int(offs[i])
-        s = off & 7
-        if s == 0:
-            out[off >> 3: (off >> 3) + nb] |= b
-        else:
-            w16 = b.astype(np.uint16) << s
-            lo = (w16 & 0xFF).astype(np.uint8)
-            hi = (w16 >> 8).astype(np.uint8)
-            j = off >> 3
-            out[j: j + nb] |= lo
-            out[j + 1: j + 1 + nb] |= hi
+    shift = (offs[:-1] & 7).astype(np.int64)
+    for s in range(8):
+        rows = np.flatnonzero(shift == s)
+        if rows.size == 0:
+            continue
+        w16 = lanes[rows].astype(np.uint16) << s
+        j = (offs[rows] >> 3)[:, None] + col
+        valid = col < nb[rows][:, None]
+        np.bitwise_or.at(out, j[valid], (w16 & 0xFF).astype(np.uint8)[valid])
+        if s:
+            np.bitwise_or.at(out, (j + 1)[valid],
+                             (w16 >> 8).astype(np.uint8)[valid])
     return out[: (total + 7) // 8].tobytes()
 
 
@@ -1153,27 +1158,34 @@ def lane_split_bits(payload: bytes, sizes_bits: np.ndarray, k: int):
     from .. import native
     if native.available():
         return native.lane_split_bits(bytes(payload), sizes_bits, k, W), W
-    # numpy fallback: per-lane byte extraction + right shift (O(payload)
-    # total, not O(k * payload) as a big-int accumulator would be)
+    # numpy fallback, fully vectorized over lanes (mirror of the merge
+    # fallback): lanes group into at most 8 bit-shift classes; each
+    # class extracts all its lanes' bytes in one gather + shift pass.
+    # O(payload) work, O(8) python iterations.
     buf = np.frombuffer(bytes(payload) + b"\0\0", np.uint8)
     offs = np.concatenate([[0], np.cumsum(sizes_bits)])
+    nb = ((sizes_bits + 7) // 8).astype(np.int64)
+    maxnb = int(nb.max()) if k else 0
+    col = np.arange(maxnb)[None, :]
     cols = np.zeros((k, W * 4), np.uint8)
-    for i in range(k):
-        n = int(sizes_bits[i])
-        nb = (n + 7) // 8
-        off = int(offs[i])
-        j = off >> 3
-        s = off & 7
-        span = buf[j: j + nb + 1]
-        if s == 0:
-            b = span[:nb].copy()
-        else:
-            b = ((span[:nb] >> s)
-                 | (span[1: nb + 1].astype(np.uint16) << (8 - s))
-                 .astype(np.uint8))
-        if n & 7:
-            b[-1] &= (1 << (n & 7)) - 1
-        cols[i, :nb] = b
+    shift = (offs[:-1] & 7).astype(np.int64)
+    lanes = np.zeros((k, maxnb), np.uint8)
+    for s in range(8):
+        rows = np.flatnonzero(shift == s)
+        if rows.size == 0:
+            continue
+        j = np.minimum((offs[rows] >> 3)[:, None] + col, len(buf) - 2)
+        lo = buf[j]
+        if s:
+            lo = ((lo >> s)
+                  | (buf[j + 1].astype(np.uint16) << (8 - s)).astype(np.uint8))
+        lanes[rows] = lo
+    lanes[col >= nb[:, None]] = 0
+    top = (sizes_bits & 7).astype(np.int64)
+    last_mask = np.where(top, (1 << np.maximum(top, 1)) - 1, 0xFF)
+    if k:
+        lanes[np.arange(k), np.maximum(nb - 1, 0)] &= last_mask.astype(np.uint8)
+    cols[:, :maxnb] = lanes
     return np.ascontiguousarray(cols.view(np.uint32).reshape(k, W).T), W
 
 

@@ -335,3 +335,36 @@ def test_frame_pl_sharded_roundtrip():
     assert (pf.modes == F.MODE_FSE_PL).all()
     out = F.decompress(comp, interpret=True, sharding=sh)
     assert out == data.tobytes()
+
+
+def test_bits_fallbacks_match_native_fuzz():
+    """The numpy lane_merge_bits/lane_split_bits fallbacks (the silent
+    path wherever g++ is unavailable) must agree byte-for-byte with the
+    native implementations across randomized lane-size patterns — they
+    are vectorized by bit-shift class, a different algorithm."""
+    import unittest.mock as mock
+
+    from entropy_coders_tpu import native
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(7)
+    for trial in range(15):
+        k = int(rng.choice([128, 256, 384]))
+        sizes = rng.integers(10, int(rng.integers(20, 300)) + 20,
+                             k).astype(np.int64)
+        W = int((sizes.max() + 31) // 32) + 2
+        words = rng.integers(0, 1 << 32, (W, k),
+                             dtype=np.uint64).astype(np.uint32)
+        nb32 = (sizes + 31) // 32
+        words[np.arange(W)[:, None] >= nb32[None, :]] = 0
+        top = sizes % 32
+        lastm = np.where(top, (1 << np.maximum(top, 1)) - 1,
+                         0xFFFFFFFF).astype(np.uint64).astype(np.uint32)
+        words[np.maximum(nb32 - 1, 0), np.arange(k)] &= lastm
+        ref_m = native.lane_merge_bits(words, sizes)
+        ref_s = native.lane_split_bits(ref_m, sizes, k, W)
+        with mock.patch.object(native, "available", lambda: False):
+            assert PL.lane_merge_bits(words, sizes) == ref_m
+            got_s, _ = PL.lane_split_bits(ref_m, sizes, k)
+            assert np.array_equal(got_s[:W], ref_s)
+            assert PL.lane_merge_bits(got_s, sizes) == ref_m
