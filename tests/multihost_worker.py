@@ -57,7 +57,16 @@ def main():
     assert pf.shared and len(pf.shared_hdr) > 0
     assert MH.decompress(shared_frame, interpret=True) == data.tobytes()
 
-    digest = hashlib.sha256(global_frame + shared_frame).hexdigest()
+    # per-block optimal_log2 policy across hosts: each host's sub-frame
+    # carries heterogeneous per-block logs; the ordered merge must still
+    # be byte-identical to the single-process auto frame
+    auto_frame = MH.compress(data, table_log="auto", **kwargs)
+    assert auto_frame == F.compress(data, table_log="auto", **kwargs), \
+        "multihost auto-table_log frame != single-process frame"
+    assert MH.decompress(auto_frame, interpret=True) == data.tobytes()
+
+    digest = hashlib.sha256(global_frame + shared_frame
+                            + auto_frame).hexdigest()
     print("OK", digest, flush=True)
 
 
