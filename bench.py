@@ -150,7 +150,7 @@ def main():
     best = float(np.median(estimates))
 
     # --- device-resident steady-state ENCODE (secondary metric) ---
-    from entropy_coders_tpu.ops.pl_coder import _encode_call, _table_rows
+    from entropy_coders_tpu.ops.pl_coder import _encode_call, pack_enc_table_rows
     from entropy_coders_tpu.spec.fse import EncodeTable
 
     S = k // 128
@@ -160,16 +160,10 @@ def main():
     for j in range(B):
         norm = NormHistogram(norm_tables[j], L, F._tl(norm_tables[j]))
         et = EncodeTable(norm)
-        tb = np.asarray(et.tt_bits, np.uint32).astype(np.int64)
-        fs = np.asarray(et.tt_find_state, np.int64)
-        if L <= 10:
-            symt.append(_table_rows((tb << (L + 1)) | (fs + (1 << L))))
-        else:
-            mb = (tb + 0xFFFF) >> 16
-            msp = (mb << 16) - tb
-            symt.append(_table_rows((mb << 27) | (msp << 13) | (fs + 4096)))
-        t64 = np.asarray(et.table, np.int64)
-        stt.append(_table_rows(t64[0::2] | (t64[1::2] << 16)))
+        sr, tr = pack_enc_table_rows(et.table, et.tt_bits,
+                                     et.tt_find_state, L)
+        symt.append(sr)
+        stt.append(tr)
     blocks_h = data.reshape(B, block_size)
     a_syms = jnp.asarray(blocks_h[:, : Rr * k].reshape(B, Rr, S, 128))
     a_init = jnp.asarray(blocks_h[:, Rr * k:].reshape(B, S, 128))

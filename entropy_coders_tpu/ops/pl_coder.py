@@ -107,6 +107,40 @@ def _table_rows(values: np.ndarray) -> np.ndarray:
     return v.reshape(-1, 128).astype(np.uint32).view(np.int32)
 
 
+def pack_enc_table_rows(table, tt_bits, tt_fs, L: int):
+    """Host-side encode-table packing into in-kernel gather rows:
+    ``(symbol-transform rows, pair-packed next-state rows)``. The single
+    normative packing (the device analog is ``_pack_symt_dev``; the
+    in-kernel unpack is ``_sym_transform``):
+
+    * L <= 10: tt_bits directly — tb(20b) | fs+2^L (L+1 bits);
+    * L <= 12: mb(4b) | min_state_plus(14b) | fs+4096(13b);
+    * L >= 13: two planes, A = mb(5b)|fs+2^17(18b), B = msp(17b).
+
+    The asserts are static guarantees of the table-log; they catch a
+    mispacked table before it silently corrupts an encode."""
+    tb = np.asarray(tt_bits, np.uint32).astype(np.int64)
+    fs = np.asarray(tt_fs, np.int64)
+    mb = (tb + 0xFFFF) >> 16           # max_bits_out (ceil of tb/2^16)
+    msp = (mb << 16) - tb              # min_state_plus
+    if L <= 10:
+        assert tb.max() < (L + 2) << 16 and np.abs(fs).max() < (1 << L)
+        symt = _table_rows((tb << (L + 1)) | (fs + (1 << L)))
+    elif L <= 12:
+        assert (mb.max() <= 15 and msp.max() <= 0x3FFF
+                and np.abs(fs).max() < 4096)
+        symt = _table_rows((mb << 27) | (msp << 13) | (fs + 4096))
+    else:
+        # two-plane transform (see _sym_transform): A = mb|fs, B = msp
+        assert (mb.max() <= 16 and msp.max() <= (1 << 16)
+                and np.abs(fs).max() < (1 << 15))
+        plane_a = _table_rows((mb << 18) | (fs + (1 << 17)))
+        symt = np.concatenate([plane_a, _table_rows(msp)], axis=0)
+    t64 = np.asarray(table, np.int64)
+    stt = _table_rows(t64[0::2] | (t64[1::2] << 16))
+    return symt, stt
+
+
 def decode_table_rows(packed: np.ndarray, L: int) -> np.ndarray:
     """Decode-table entries (2^L,) u32 (sym<<24|nb<<16|base) -> gather
     rows for the decode kernel. For L <= 12 the entries split into
@@ -406,11 +440,14 @@ def _fuse_factor(B: int, k: int, mesh) -> int:
     even when B is small — real Mosaic cannot lower the S=1 per-sublane
     gather ("Shape mismatch in input, indices and output", found by
     tests/tpu_smoke.py on a lone k=128 block), and S < 8 underfills the
-    8-sublane VPU tile anyway. Callers pad B with copies of block 0."""
+    8-sublane VPU tile anyway. Callers pad B with copies of block 0.
+    The floor applies under a mesh too (the same lowering failure is
+    otherwise reachable via sharded small-k encodes; the *_norm entry
+    points pad the batch to the F x mesh quantum)."""
+    floor = _cdiv(1024, k) if k < 1024 else 1
     if mesh is not None:
-        return 1
-    f = max(1, min(B, FUSE_LANES // k))
-    return max(f, _cdiv(1024, k)) if k < 1024 else f
+        return floor
+    return max(floor, max(1, min(B, FUSE_LANES // k)))
 
 
 def _expand_tbl(rows_list, S_each, F):
@@ -994,23 +1031,9 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
     F = _fuse_factor(B, k, mesh)
     symt, stt = [], []
     for (t, tb, fs) in enc_tables:
-        tb = np.asarray(tb, np.uint32).astype(np.int64)
-        fs = np.asarray(fs, np.int64)
-        mb = (tb + 0xFFFF) >> 16           # max_bits_out (ceil of tb/2^16)
-        msp = (mb << 16) - tb              # min_state_plus
-        if L <= 10:
-            assert tb.max() < (L + 2) << 16 and np.abs(fs).max() < (1 << L)
-            symt.append(_table_rows((tb << (L + 1)) | (fs + (1 << L))))
-        elif L <= 12:
-            assert mb.max() <= 15 and msp.max() <= 0x3FFF and np.abs(fs).max() < 4096
-            symt.append(_table_rows((mb << 27) | (msp << 13) | (fs + 4096)))
-        else:
-            # two-plane transform (see _sym_transform): A = mb|fs, B = msp
-            assert mb.max() <= 16 and msp.max() <= (1 << 16) and np.abs(fs).max() < (1 << 15)
-            plane_a = _table_rows((mb << 18) | (fs + (1 << 17)))
-            symt.append(np.concatenate([plane_a, _table_rows(msp)], axis=0))
-        t64 = np.asarray(t, np.int64)
-        stt.append(_table_rows(t64[0::2] | (t64[1::2] << 16)))
+        sr, tr = pack_enc_table_rows(t, tb, fs, L)
+        symt.append(sr)
+        stt.append(tr)
     syms = np.asarray(syms, np.uint8)
     init_syms = np.asarray(init_syms, np.uint8)
     if B % F:  # pad with copies of block 0 (results discarded)

@@ -115,11 +115,18 @@ def compress(data, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
         from ..normalize import normalize_batch
 
         # 256-counter histogram all-reduce over DCN: local count ->
-        # allgather -> identical elementwise sum everywhere
+        # allgather -> identical elementwise sum everywhere. Local counts
+        # can reach 2^32 (a 4 GiB single-symbol slice) but
+        # process_allgather truncates to int32 without jax_enable_x64,
+        # so ship each counter as (hi16, lo16) int32 halves and
+        # recombine in int64 — exact for any per-host slice < 4 GiB.
         counts_local = np.bincount(local, minlength=256).astype(np.int64)
+        halves = np.stack([counts_local >> 16,
+                           counts_local & 0xFFFF]).astype(np.int32)
         gathered = np.asarray(
-            multihost_utils.process_allgather(counts_local))
-        counts_all = gathered.reshape(-1, 256).sum(axis=0)
+            multihost_utils.process_allgather(halves)).astype(np.int64)
+        gathered = gathered.reshape(-1, 2, 256)
+        counts_all = ((gathered[:, 0] << 16) + gathered[:, 1]).sum(axis=0)
         if np.count_nonzero(counts_all) <= 1:
             shared_table = False  # degenerate everywhere: RLE/RAW blocks
         else:

@@ -54,6 +54,19 @@ def _all_gather_kernel(input_ref, output_ref, accum_ref, chunk_s,
     right = lax.rem(my_id + 1, n)
 
     @pl.when(step == 0)
+    def _barrier():
+        # neighbor start-barrier before the first remote DMA: without it
+        # a fast device could write into a neighbor's output buffer
+        # before that neighbor's kernel has started (the standard
+        # pattern from the JAX Pallas distributed guide)
+        sem = pltpu.get_barrier_semaphore()
+        left = lax.rem(my_id - 1 + n, n)
+        for nb in (left, right):
+            pltpu.semaphore_signal(sem, device_id=(nb,),
+                                   device_id_type=pltpu.DeviceIdType.MESH)
+        pltpu.semaphore_wait(sem, 2)
+
+    @pl.when(step == 0)
     def _seed():
         # own chunk into its output slot; the accumulator starts from it
         cp = pltpu.make_async_copy(input_ref, output_ref.at[my_id],
@@ -115,8 +128,12 @@ def _ring_call(chunk, *, axis, n, accumulate, interpret):
     out_shape = [jax.ShapeDtypeStruct((n,) + chunk.shape, chunk.dtype),
                  jax.ShapeDtypeStruct(chunk.shape, chunk.dtype)]
     ip = pltpu.InterpretParams() if interpret else False
-    return pl.pallas_call(kern, out_shape=out_shape, grid_spec=grid_spec,
-                          interpret=ip)(chunk)
+    return pl.pallas_call(
+        kern, out_shape=out_shape, grid_spec=grid_spec, interpret=ip,
+        # barrier semaphores require a collective_id shared by every
+        # device participating in the same logical collective
+        compiler_params=pltpu.CompilerParams(collective_id=7),
+    )(chunk)
 
 
 def ring_all_gather(x, mesh, *, axis=None, interpret=False):

@@ -26,19 +26,32 @@ from . import frame as F
 __all__ = ["compress_file", "decompress_file"]
 
 
+# read once at import: os.umask() can only be READ by setting it, and the
+# set/restore window is thread-unsafe — per-call swapping would let files
+# created by other threads in that window get mode-0 umasks
+_UMASK = os.umask(0)
+os.umask(_UMASK)
+
+
 def _mkstemp_for(dst_path):
-    """Unique same-directory temp file for atomic replace of ``dst_path``.
-    Concurrent invocations targeting the same destination must never share
-    (or unlink) each other's in-progress file, so the name is randomized;
-    permissions are widened from mkstemp's 0600 to the umask default so the
-    renamed result matches a normally-created file."""
+    """Open a unique same-directory temp file for atomic replace of
+    ``dst_path``. Concurrent invocations targeting the same destination
+    must never share (or unlink) each other's in-progress file, so the
+    name is randomized; permissions are widened from mkstemp's 0600 to
+    the umask default so the renamed result matches a normally-created
+    file. Returns ``(open binary file object, tmp_path)`` — the fd is
+    wrapped immediately so no exception window can leak it."""
     dst = os.fspath(dst_path)
     fd, tmp_path = tempfile.mkstemp(dir=os.path.dirname(dst) or ".",
                                     prefix=os.path.basename(dst) + ".tmp.")
-    umask = os.umask(0)
-    os.umask(umask)
-    os.chmod(tmp_path, 0o666 & ~umask)
-    return fd, tmp_path
+    try:
+        os.chmod(tmp_path, 0o666 & ~_UMASK)
+        f = os.fdopen(fd, "wb")
+    except BaseException:
+        os.close(fd)
+        os.unlink(tmp_path)
+        raise
+    return f, tmp_path
 
 
 def compress_file(src_path, dst_path, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
@@ -63,10 +76,10 @@ def compress_file(src_path, dst_path, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
                           checksum, bit_pack)
     table_off = len(hdr)
     table_len = 4 * n_blocks * (2 if checksum else 1)
-    fd, tmp_path = _mkstemp_for(dst_path)
+    fout, tmp_path = _mkstemp_for(dst_path)
     done = 0
     try:
-        with open(src_path, "rb") as fin, os.fdopen(fd, "wb") as fout:
+        with open(src_path, "rb") as fin, fout:
             fout.write(hdr)
             fout.write(b"\0" * table_len)  # reserved; patched at the end
             while True:
@@ -95,6 +108,10 @@ def compress_file(src_path, dst_path, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
         os.replace(tmp_path, dst_path)
     except BaseException:
         try:
+            fout.close()
+        except OSError:
+            pass
+        try:
             os.unlink(tmp_path)
         except OSError:
             pass
@@ -109,7 +126,7 @@ def decompress_file(src_path, dst_path, *, chunk_blocks: int = 64,
     ONCE, and decoded ``chunk_blocks`` blocks at a time via the
     container's random-access property. Output is written atomically
     (same-directory temp + rename)."""
-    fd, tmp_path = _mkstemp_for(dst_path)
+    fout, tmp_path = _mkstemp_for(dst_path)
     try:
         with open(src_path, "rb") as fin:
             try:
@@ -117,7 +134,7 @@ def decompress_file(src_path, dst_path, *, chunk_blocks: int = 64,
             except ValueError:  # empty file
                 mm = b""
             pf = F._parse_frame(mm)
-            with os.fdopen(fd, "wb") as fout:
+            with fout:
                 for b_lo in range(0, pf.n_blocks, chunk_blocks):
                     start = b_lo * pf.block_size
                     length = min((b_lo + chunk_blocks) * pf.block_size,
@@ -130,6 +147,10 @@ def decompress_file(src_path, dst_path, *, chunk_blocks: int = 64,
             raise ValueError("decoded length mismatch")
         os.replace(tmp_path, dst_path)
     except BaseException:
+        try:
+            fout.close()
+        except OSError:
+            pass
         try:
             os.unlink(tmp_path)
         except OSError:

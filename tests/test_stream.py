@@ -51,3 +51,31 @@ def test_stream_empty(tmp_path):
     compress_file(src, dst, interpret=True)
     assert decompress_file(dst, back, interpret=True) == 0
     assert back.read_bytes() == b""
+
+
+def test_failed_streaming_leaks_nothing(tmp_path):
+    """A failing compress/decompress must leave no temp files behind and
+    must not leak the temp file descriptor (the fd is wrapped in a file
+    object the moment it is created)."""
+    import os
+
+    def live_fds():
+        return len(os.listdir("/proc/self/fd"))
+
+    dst = tmp_path / "out.ect"
+    base = live_fds()
+    # missing source file
+    for _ in range(5):
+        with pytest.raises(FileNotFoundError):
+            compress_file(tmp_path / "missing", dst, interpret=True)
+        with pytest.raises(FileNotFoundError):
+            decompress_file(tmp_path / "missing", dst, interpret=True)
+    # corrupt frame: parse fails after the temp file exists
+    bad = tmp_path / "bad.ect"
+    bad.write_bytes(b"XXXXnot a frame")
+    for _ in range(5):
+        with pytest.raises(ValueError):
+            decompress_file(bad, dst, interpret=True)
+    assert live_fds() <= base
+    assert [f for f in os.listdir(tmp_path)
+            if ".tmp." in f] == [], "temp files left behind"
