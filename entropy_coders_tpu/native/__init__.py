@@ -28,7 +28,13 @@ def _load():
         from .build import build
 
         path = build()
-        lib = ctypes.CDLL(str(path))
+        try:
+            lib = ctypes.CDLL(str(path))
+        except OSError:
+            # a prebuilt .so from another machine (-march=native) can
+            # fail to load — rebuild for this host and retry once
+            path = build(force=True)
+            lib = ctypes.CDLL(str(path))
         lib.ect_compress.restype = ctypes.c_int
         lib.ect_compress.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int, ctypes.c_int,
