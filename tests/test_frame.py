@@ -72,6 +72,22 @@ def test_bad_magic():
         F.decompress(b"NOPE" + b"\x00" * 30)
 
 
+def test_k_exceeding_block_size_rejected():
+    data = gen_sequence(0.2, 700)
+    with pytest.raises(ValueError, match="block_size"):
+        F.compress(data, block_size=256, k=512)
+    with pytest.raises(ValueError, match="block_size"):
+        F.compress(data, block_size=256, k=0)
+
+
+def test_k_equals_block_size():
+    # degenerate but legal: every byte of a full block is a stream's
+    # init symbol (m = 0 emission rounds)
+    data = gen_sequence(0.3, 3 * 64 + 17)
+    comp = F.compress(data, block_size=64, k=64)
+    assert F.decompress(comp) == data.tobytes()
+
+
 def test_shared_table_is_smaller_for_many_blocks():
     data = gen_sequence(0.2, 1 << 16)
     per_block = F.compress(data, block_size=1 << 12, k=32, shared_table=False)
