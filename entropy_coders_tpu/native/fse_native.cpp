@@ -506,6 +506,11 @@ int ect_compress(const uint8_t* src, size_t n, int k, int log2, uint8_t* dst,
   if (l2 < 0) return 2;
   NormHist h;
   if (!normalize(counts, n, l2, &h)) return 2;
+  // single-symbol (full-table) normalization: the read-until-failure
+  // decoder never terminates on such a frame (see spec.codec
+  // fse_compress docstring; reference lib.rs:199-207) — refuse to emit
+  for (int i = 0; i < 256; i++)
+    if (h.table[i] == (int32_t)1 << h.log2) return 2;
 
   std::vector<uint8_t> out;
   out.reserve(n + 512);
@@ -538,6 +543,11 @@ int ect_decompress(const uint8_t* src, size_t n, int k, uint8_t* dst,
   NormHist h;
   size_t hdr = read_header(src, n, &h);
   if (hdr == 0) return 1;
+  // degenerate single-symbol table: every decode step reads 0 bits, the
+  // loop below would never hit a failing read (reference bug, see
+  // ect_compress) — treat as a framing error
+  for (int i = 0; i < 256; i++)
+    if (h.table[i] == (int32_t)1 << h.log2) return 1;
 
   DecTable dt;
   build_decode(h, &dt);

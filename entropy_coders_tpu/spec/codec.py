@@ -57,6 +57,19 @@ def fse_compress(src, dst: bytearray, k: int = 1,
 
     if hist is None:
         hist = NormHistogram.new(src)
+    if int(hist.table.max()) == 1 << hist.log2:
+        # Single-symbol input: the whole table normalizes to one symbol
+        # (src/histogram.rs:113-120) and every decode step then reads 0
+        # bits, so the reference's read-until-failure decoder NEVER
+        # terminates on the frame its own compressor emits (lib.rs:199-207
+        # + stack_reader.rs:176-183, where peek(0) succeeds on an empty
+        # reader; its tests never hit this, and a symbol-0-only input
+        # panics earlier in `(table_len - 1).ilog2()`). Divergence, like
+        # the documented L=15 underflow: we refuse to emit the
+        # undecodable frame. Use RLE (frame.py does, automatically).
+        raise ValueError("single-symbol input cannot be FSE-coded "
+                         "(degenerate table; the reference's decoder "
+                         "would never terminate)")
     hist.write(dst)
 
     writer = BitStackWriter(dst)
@@ -91,6 +104,12 @@ def fse_decompress(src, dst: bytearray, k: int = 1,
     try:
         hist, payload = NormHistogram.read(bytes(src))
     except ValueError:
+        return None
+    if int(hist.table.max()) == 1 << hist.log2:
+        # degenerate single-symbol table: every state decodes the same
+        # symbol with a 0-bit read, so the read-until-failure loop below
+        # would never fail — the reference hangs here (see fse_compress);
+        # treat it as a framing error
         return None
     reader = BitStackReader.new(payload)
     if reader is None:

@@ -121,9 +121,14 @@ def _check_container(data: np.ndarray, rng: np.random.Generator,
         checksum=bool(rng.integers(0, 2)),
         shared_table=shared,
     )
+    if _VERBOSE:
+        print(f"  container {msg} n={len(data)} {kw}", flush=True)
     comp = F.compress(data, **kw)
     assert F.decompress(comp, interpret=True) == data.tobytes(), \
         f"container round trip {msg} {kw}"
+
+
+_VERBOSE = False
 
 
 def run_fuzz(iters: int, seed: int, container_every: int = 4,
@@ -138,7 +143,7 @@ def run_fuzz(iters: int, seed: int, container_every: int = 4,
         # sample it every few iterations on a truncated input
         if i % container_every == 0:
             _check_container(data[:max_container_bytes], rng, msg, wide)
-        if verbose and i % 50 == 0:
+        if verbose:
             print(f"iter {i}/{iters} n={len(data)}", flush=True)
 
 
@@ -164,6 +169,7 @@ if __name__ == "__main__":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    globals()["_VERBOSE"] = True
     print(f"fuzzing: iters={args.iters} seed={args.seed} wide={args.wide}",
           flush=True)
     run_fuzz(args.iters, args.seed, verbose=True, wide=args.wide)

@@ -92,3 +92,22 @@ def test_explicit_histogram_reuse():
     fse_compress(src, dst, k=2, hist=hist)
     dec = bytearray()
     assert fse_decompress(dst, dec, k=2) == len(src)
+
+
+def test_single_symbol_input_rejected():
+    """Single-symbol inputs normalize to a full-table degenerate
+    histogram whose decode-until-failure loop never terminates in the
+    reference (every step is a 0-bit read; lib.rs:199-207 +
+    stack_reader.rs:176-183). Documented divergence: we refuse to emit
+    the undecodable frame instead of replicating the hang. Found by
+    tests/fuzz_diff.py (a single-run 'runs' input)."""
+    for sym in (9, 0):  # sym 0 is the case where the reference panics
+        with pytest.raises(ValueError):
+            fse_compress(np.full(18, sym, np.uint8), bytearray(), k=1)
+
+
+def test_degenerate_table_frame_decode_returns_none():
+    # hand-captured frame: L=5 header whose table is fully owned by
+    # symbol 9 (hex 10de1f) + payload 0x20 — decode must not spin
+    frame = bytes.fromhex("10de1f20")
+    assert fse_decompress(frame, bytearray(), k=1) is None

@@ -174,3 +174,23 @@ def test_auto_table_log_matches_spec_choice(rng):
         hist, _ = NormHistogram.read(pf.section(i))
         block = data[i << 12 : (i + 1) << 12]
         assert hist.log2 == Histogram(block).optimal_log2()
+
+
+def test_packed_size_table_degenerate_falls_back_raw():
+    """All-equal lane sizes make the size-table bytes single-symbol per
+    stream; the FSE compressor now rejects that (degenerate table), and
+    _pack_size_table must fall back to the raw (cs_len == 0) form.
+    Previously the compressed degenerate table was stored and could not
+    be decoded back (latent FLAG_PACKED corruption, found via
+    tests/fuzz_diff.py's single-symbol discovery)."""
+    from entropy_coders_tpu.frame import _pack_size_table, _unpack_size_table
+
+    import struct
+
+    k = 128
+    st = np.full(k, 257, "<u2").tobytes()  # every byte 0x01: one symbol
+    sec = _pack_size_table(st)
+    assert struct.unpack_from("<H", sec)[0] == 0  # raw fallback taken
+    sizes, rest = _unpack_size_table(sec + b"tail", k)
+    assert rest == b"tail"
+    assert (sizes == 257).all()

@@ -113,3 +113,13 @@ def test_read_header_fuzz_native_vs_spec(rng):
         pos = int(rng.integers(0, len(base)))
         base[pos] ^= int(rng.integers(1, 256))
         one(bytes(base))
+
+
+def test_native_single_symbol_rejected():
+    """Mirror of spec: single-symbol (degenerate full-table) inputs and
+    frames are refused — the reference's own decoder would never
+    terminate on them (see spec.codec.fse_compress docstring)."""
+    with pytest.raises(ValueError):
+        native.compress(b"\x09" * 18, k=1)
+    with pytest.raises(ValueError):
+        native.decompress(bytes.fromhex("10de1f20"), k=1, max_out=64)
