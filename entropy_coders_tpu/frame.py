@@ -144,7 +144,10 @@ def compress(
     TABLE_LOG_DEFAULT otherwise; ``"auto"`` applies the reference's
     per-block ``optimal_log2`` policy (src/histogram.rs:264-277) — each
     block gets its own log, and blocks group by (len, log) for the
-    batched kernels. ``interpret`` runs the Pallas kernels in
+    batched kernels. ``"fast"`` biases per-block logs toward decode
+    throughput: the smallest log whose estimated coded size stays
+    within 0.5% of the auto choice's (decode speed ~doubles per -1 log
+    — normalize.fast_log2s, PERF.md). ``interpret`` runs the Pallas kernels in
     interpreter mode (for CPU testing). ``checksum`` appends a per-block
     crc32 table, verified on decompress (the reference format has no
     integrity checking — corruption decodes to garbage silently).

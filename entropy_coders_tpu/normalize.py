@@ -67,19 +67,81 @@ def normalize_batch(counts: np.ndarray, size: int, log2):
     """Normalize (B, 256) uint histograms of equal-size blocks.
 
     Returns ``(tables (B,256) int32, log2s (B,) int64)``. ``log2`` is the
-    requested table log (scalar, per-row array, or ``"auto"`` for the
-    reference's per-block ``optimal_log2`` policy); per-row it may be
-    raised by the reference's table_len clamp (rare: only for blocks
-    with few distinct symbols)."""
+    requested table log (scalar, per-row array, ``"auto"`` for the
+    reference's per-block ``optimal_log2`` policy, or ``"fast"`` for the
+    throughput-biased policy below); per-row it may be raised by the
+    reference's table_len clamp (rare: only for blocks with few distinct
+    symbols)."""
     counts = np.asarray(counts, dtype=np.uint64)
-    B = counts.shape[0]
+    if isinstance(log2, str) and log2 == "fast":
+        return normalize_batch(counts, size, fast_log2s(counts, size))
     log2s = effective_log2(counts, size, log2)
-    tables = np.zeros((B, 256), dtype=np.int32)
+    return _tables_at(counts, size, log2s), log2s
 
+
+def _tables_at(counts: np.ndarray, size: int, log2s: np.ndarray) -> np.ndarray:
+    tables = np.zeros((counts.shape[0], 256), dtype=np.int32)
     for l2 in np.unique(log2s):
         rows = np.flatnonzero(log2s == l2)
         tables[rows] = _normalize_rows(counts[rows], size, int(l2))
-    return tables, log2s
+    return tables
+
+
+# "fast" policy knobs: candidate logs auto-FAST_SPAN..auto, accept the
+# smallest whose estimated coded size is within FAST_EPS of auto's.
+FAST_EPS = 0.005
+FAST_SPAN = 3
+
+
+def estimated_bits(counts: np.ndarray, tables: np.ndarray,
+                   log2s: np.ndarray) -> np.ndarray:
+    """Per-row estimated coded size in bits: the tANS cost model
+    ``sum_i c_i * (L - log2(n_i))`` (a symbol with ``n_i`` of the ``2^L``
+    table slots codes in ``L - log2(n_i)`` bits on average; the ``-1``
+    low-prob sentinel owns 1 slot = L bits) plus an NCount header
+    estimate of ``table_len * (L + 1)`` bits. Float estimate — used for
+    policy decisions, never for buffer sizing."""
+    c = counts.astype(np.float64)
+    n = np.where(tables > 0, tables, 1).astype(np.float64)
+    L = np.asarray(log2s, np.float64)[:, None]
+    payload = np.where(counts != 0, c * (L - np.log2(n)), 0.0).sum(axis=1)
+    return payload + table_lens(counts) * (np.asarray(log2s) + 1)
+
+
+def fast_log2s(counts: np.ndarray, size: int, eps: float = FAST_EPS,
+               span: int = FAST_SPAN) -> np.ndarray:
+    """Throughput-biased per-block table log (``table_log="fast"``).
+
+    The per-lane decode kernel's cost is dominated by ``2^L/128``
+    per-sublane gathers, so decode throughput roughly doubles per -1 of
+    table log (PERF.md sweep: L=9 is ~1.6x L=10 for +0.24% size on the
+    bench distribution). This policy starts from the reference's
+    ``optimal_log2`` (ratio-optimal; src/histogram.rs:264-277) and takes
+    the SMALLEST log within ``span`` of it whose estimated coded size
+    (``estimated_bits``) stays within ``eps`` of the optimal log's — the
+    cost-model analog of picking the fastest operating point that does
+    not meaningfully hurt ratio. No reference analog (it has one fixed
+    default); TPU-first extension."""
+    counts = np.asarray(counts, dtype=np.uint64)
+    base = effective_log2(counts, size, "auto")
+    min_l2 = np.floor(
+        np.log2(np.maximum(table_lens(counts) - 1, 1))).astype(np.int64) + 2
+    lo = np.maximum(np.maximum(base - span, min_l2), TABLE_LOG_MIN)
+
+    budget = estimated_bits(counts, _tables_at(counts, size, base),
+                            base) * (1.0 + eps)
+    chosen = base.copy()
+    done = np.zeros(len(base), dtype=bool)
+    for delta in range(span, 0, -1):  # smallest candidate log first
+        Ls = np.maximum(base - delta, lo)
+        cand = ~done & (Ls < chosen)
+        if not cand.any():
+            continue
+        est = estimated_bits(counts, _tables_at(counts, size, Ls), Ls)
+        take = cand & (est <= budget)
+        chosen[take] = Ls[take]
+        done |= take
+    return chosen
 
 
 def _normalize_rows(t: np.ndarray, size: int, log2: int) -> np.ndarray:

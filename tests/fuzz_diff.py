@@ -106,14 +106,14 @@ def _check_container(data: np.ndarray, rng: np.random.Generator,
         k = (int(rng.choice([128, 256, 512])) if lanes
              else int(rng.choice([1, 2, 8, 64])))
         k = min(k, bs)  # compress rejects k > block_size by contract
-        tl = rng.choice(["auto", None, 7, 9, 11])
+        tl = rng.choice(["auto", "fast", None, 7, 9, 11])
         shared = bool(rng.integers(0, 4) == 0)
     else:
         bs, lanes = 2048, bool(rng.integers(0, 2))
         k = 128 if lanes else int(rng.choice([1, 8]))
         tl = rng.choice(["auto", None])
         shared = False
-    tl = None if tl is None else ("auto" if tl == "auto" else int(tl))
+    tl = None if tl is None else (tl if tl in ("auto", "fast") else int(tl))
     kw = dict(
         block_size=bs, k=k, lanes=lanes, interpret=True,
         table_log=tl,
@@ -145,6 +145,14 @@ def run_fuzz(iters: int, seed: int, container_every: int = 4,
             _check_container(data[:max_container_bytes], rng, msg, wide)
         if verbose:
             print(f"iter {i}/{iters} n={len(data)}", flush=True)
+        if wide and i and i % 200 == 0:
+            # the wide palette compiles a fresh jit program for nearly
+            # every container config; the in-process compile caches grow
+            # without bound and a long soak eventually dies in LLVM with
+            # ENOMEM (observed at ~1900 iterations) — drop them
+            import jax
+
+            jax.clear_caches()
 
 
 def test_fuzz_quick():

@@ -194,3 +194,28 @@ def test_packed_size_table_degenerate_falls_back_raw():
     sizes, rest = _unpack_size_table(sec + b"tail", k)
     assert rest == b"tail"
     assert (sizes == 257).all()
+
+
+def test_fast_table_log_policy(rng):
+    """table_log="fast" picks per-block logs <= the auto (ratio-optimal)
+    choice, costs at most ~the policy's eps in ratio, and round-trips.
+    On the bench distribution the estimate must actually drop the log
+    (PERF.md: L=9 costs +0.24% vs 10 — well inside the 0.5% budget)."""
+    from entropy_coders_tpu.normalize import fast_log2s, optimal_log2s
+
+    data = gen_sequence(0.2, 1 << 16)
+    counts = np.stack([np.bincount(b, minlength=256)
+                       for b in data.reshape(4, 1 << 14)]).astype(np.uint64)
+    fast = fast_log2s(counts, 1 << 14)
+    auto = optimal_log2s(counts, 1 << 14)
+    # on the bench distribution at 16 KiB blocks the estimate drops
+    # 11 -> 9, the measured throughput-max point (PERF.md)
+    assert (fast <= auto).all() and (fast < auto).all()
+
+    for lanes in (False, True):
+        f = F.compress(data, block_size=1 << 14, k=16, lanes=lanes,
+                       table_log="fast", interpret=True)
+        a = F.compress(data, block_size=1 << 14, k=16, lanes=lanes,
+                       table_log="auto", interpret=True)
+        assert F.decompress(f, interpret=True) == data.tobytes()
+        assert len(f) <= len(a) * 1.01  # eps=0.5% on estimates + slack
