@@ -131,6 +131,22 @@ def _check_container(data: np.ndarray, rng: np.random.Generator,
 _VERBOSE = False
 
 
+def _check_corruption(data: np.ndarray, rng: np.random.Generator,
+                      msg: str) -> None:
+    """Flip random bits/bytes in a valid container frame: decompress
+    must either raise ValueError (the untrusted-decode contract) or
+    return bytes — never crash, hang, or leak another exception type."""
+    comp = bytearray(F.compress(data, block_size=2048, k=128, lanes=True,
+                                interpret=True,
+                                checksum=bool(rng.integers(0, 2))))
+    for _ in range(int(rng.integers(1, 4))):
+        comp[int(rng.integers(0, len(comp)))] ^= int(rng.integers(1, 256))
+    try:
+        F.decompress(bytes(comp), interpret=True)
+    except ValueError:
+        pass
+
+
 def run_fuzz(iters: int, seed: int, container_every: int = 4,
              verbose: bool = False, wide: bool = False,
              max_container_bytes: int = 1 << 13) -> None:
@@ -143,6 +159,8 @@ def run_fuzz(iters: int, seed: int, container_every: int = 4,
         # sample it every few iterations on a truncated input
         if i % container_every == 0:
             _check_container(data[:max_container_bytes], rng, msg, wide)
+        if i % (2 * container_every) == 1:
+            _check_corruption(data[:max_container_bytes], rng, msg)
         if verbose:
             print(f"iter {i}/{iters} n={len(data)}", flush=True)
         if wide and i and i % 200 == 0:
