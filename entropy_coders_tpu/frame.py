@@ -167,10 +167,12 @@ def compress(
     data = np.frombuffer(bytes(data), np.uint8) if not isinstance(data, np.ndarray) else np.asarray(data, np.uint8)
     if block_size < 16:
         raise ValueError("block_size must be >= 16")
-    if k < 1 or k > block_size:
+    if k < 1 or k > min(block_size, 0xFFFF):
         # every interleaved stream needs at least one byte of a full
-        # block (the tail clamps separately, _encode_tail)
-        raise ValueError(f"k={k} must be in [1, block_size={block_size}]")
+        # block (the tail clamps separately, _encode_tail), and the
+        # frame header stores k in a u16
+        raise ValueError(f"k={k} must be in [1, min(block_size="
+                         f"{block_size}, 65535)]")
     total_len = len(data)
     if total_len == 0:
         return _frame_header(0, k, block_size, 0, False, checksum,

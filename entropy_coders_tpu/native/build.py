@@ -17,8 +17,15 @@ def build(force: bool = False) -> Path:
     if LIB.exists() and not force:
         if LIB.stat().st_mtime >= SRC.stat().st_mtime:
             return LIB
+    # -march=native for the default lazy build (runs on the machine that
+    # compiled it). Wheel builds set ECT_NATIVE_PORTABLE=1: a native .so
+    # shipped to an older CPU loads fine under dlopen and then dies with
+    # SIGILL at the first unsupported instruction — no -march there.
+    import os
+
+    arch = [] if os.environ.get("ECT_NATIVE_PORTABLE") else ["-march=native"]
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", *arch, "-std=c++17", "-shared", "-fPIC",
         "-fopenmp", "-o", str(LIB), str(SRC),
     ]
     try:

@@ -31,6 +31,13 @@ def _ilog2_scalar(x: int) -> int:
     return max(int(x), 1).bit_length() - 1
 
 
+def _min_log2s(counts: np.ndarray) -> np.ndarray:
+    """Per-row table_len clamp floor ``ilog2(table_len - 1) + 2``
+    (reference: src/histogram.rs:96-98)."""
+    tl = table_lens(counts)
+    return np.floor(np.log2(np.maximum(tl - 1, 1))).astype(np.int64) + 2
+
+
 def optimal_log2s(counts: np.ndarray, size: int) -> np.ndarray:
     """Per-row reference ``optimal_log2`` (src/histogram.rs:264-277):
     ``min(11, ilog2(size-1)-2)`` raised to
@@ -38,10 +45,7 @@ def optimal_log2s(counts: np.ndarray, size: int) -> np.ndarray:
     Vectorized over (B, 256) histograms of equal-``size`` blocks."""
     if size < 2 or _ilog2_scalar(size - 1) - 2 < 0:
         raise ValueError("input too small to normalize")
-    tl = table_lens(counts)
-    min_bits_symbols = (
-        np.floor(np.log2(np.maximum(tl - 1, 1))).astype(np.int64) + 2)
-    min_bits = np.minimum(_ilog2_scalar(size) + 1, min_bits_symbols)
+    min_bits = np.minimum(_ilog2_scalar(size) + 1, _min_log2s(counts))
     from .constants import TABLE_LOG_DEFAULT
 
     v = min(TABLE_LOG_DEFAULT, _ilog2_scalar(size - 1) - 2)
@@ -52,15 +56,13 @@ def effective_log2(counts: np.ndarray, size: int, log2) -> np.ndarray:
     """Per-row effective log2 after the reference's clamp
     (src/histogram.rs:96-98). ``log2`` may be a scalar, a per-row array,
     or the string ``"auto"`` (per-row reference ``optimal_log2``)."""
-    tl = table_lens(counts)
     if isinstance(log2, str):
         if log2 != "auto":
             raise ValueError(f"bad table_log {log2!r}")
         base = optimal_log2s(counts, size)
     else:
         base = np.clip(np.asarray(log2), TABLE_LOG_MIN, TABLE_LOG_MAX)
-    min_l2 = np.floor(np.log2(np.maximum(tl - 1, 1))).astype(np.int64) + 2
-    return np.maximum(base, min_l2)
+    return np.maximum(base, _min_log2s(counts))
 
 
 def normalize_batch(counts: np.ndarray, size: int, log2):
@@ -124,23 +126,28 @@ def fast_log2s(counts: np.ndarray, size: int, eps: float = FAST_EPS,
     default); TPU-first extension."""
     counts = np.asarray(counts, dtype=np.uint64)
     base = effective_log2(counts, size, "auto")
-    min_l2 = np.floor(
-        np.log2(np.maximum(table_lens(counts) - 1, 1))).astype(np.int64) + 2
-    lo = np.maximum(np.maximum(base - span, min_l2), TABLE_LOG_MIN)
+    lo = np.maximum(np.maximum(base - span, _min_log2s(counts)),
+                    TABLE_LOG_MIN)
 
     budget = estimated_bits(counts, _tables_at(counts, size, base),
                             base) * (1.0 + eps)
     chosen = base.copy()
     done = np.zeros(len(base), dtype=bool)
+    prev = base
     for delta in range(span, 0, -1):  # smallest candidate log first
         Ls = np.maximum(base - delta, lo)
-        cand = ~done & (Ls < chosen)
-        if not cand.any():
+        # only rows still undecided whose candidate actually changed
+        # (rows clamped to lo repeat the same Ls every iteration)
+        idx = np.flatnonzero(~done & (Ls < base) & (Ls != prev))
+        prev = Ls
+        if not idx.size:
             continue
-        est = estimated_bits(counts, _tables_at(counts, size, Ls), Ls)
-        take = cand & (est <= budget)
+        est = estimated_bits(counts[idx],
+                             _tables_at(counts[idx], size, Ls[idx]),
+                             Ls[idx])
+        take = idx[est <= budget[idx]]
         chosen[take] = Ls[take]
-        done |= take
+        done[take] = True
     return chosen
 
 

@@ -19,8 +19,11 @@ class BuildPyWithNative(build_py):
     def run(self):
         src_dir = Path(__file__).parent / "entropy_coders_tpu" / "native"
         try:
+            import os
+
+            env = dict(os.environ, ECT_NATIVE_PORTABLE="1")
             out = subprocess.run(
-                [sys.executable, "build.py"], cwd=src_dir,
+                [sys.executable, "build.py"], cwd=src_dir, env=env,
                 capture_output=True, text=True, timeout=300,
             )
             if out.returncode != 0:

@@ -210,7 +210,7 @@ def test_fast_table_log_policy(rng):
     auto = optimal_log2s(counts, 1 << 14)
     # on the bench distribution at 16 KiB blocks the estimate drops
     # 11 -> 9, the measured throughput-max point (PERF.md)
-    assert (fast <= auto).all() and (fast < auto).all()
+    assert (fast < auto).all()
 
     for lanes in (False, True):
         f = F.compress(data, block_size=1 << 14, k=16, lanes=lanes,
