@@ -129,7 +129,7 @@ def compress(
     k: int = DEFAULT_K,
     shared_table: bool = False,
     shared_hist=None,
-    table_log: int | None = None,
+    table_log: int | str | None = None,
     sharding=None,
     lanes: bool | None = None,
     interpret: bool = False,

@@ -57,7 +57,8 @@ def _mkstemp_for(dst_path):
 def compress_file(src_path, dst_path, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
                   k: int = F.DEFAULT_K, chunk_blocks: int = 64,
                   checksum: bool = False, bit_pack: bool = False,
-                  table_log: int | None = None, lanes: bool | None = None,
+                  table_log: int | str | None = None,
+                  lanes: bool | None = None,
                   interpret: bool = False) -> int:
     """Stream-compress ``src_path`` into ``dst_path``; returns the
     compressed byte count. Host memory is O(chunk_blocks * block_size).

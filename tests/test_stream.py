@@ -79,3 +79,17 @@ def test_failed_streaming_leaks_nothing(tmp_path):
     assert live_fds() <= base
     assert [f for f in os.listdir(tmp_path)
             if ".tmp." in f] == [], "temp files left behind"
+
+
+def test_stream_policy_table_logs(tmp_path):
+    """The per-block "auto"/"fast" log policies flow through the
+    bounded-memory file path and the result decodes back exactly."""
+    data = gen_sequence(0.2, 3 * 16384 + 511).tobytes()
+    src = tmp_path / "in.bin"
+    src.write_bytes(data)
+    for tl in ("auto", "fast"):
+        out = tmp_path / f"{tl}.fset"
+        back = tmp_path / f"{tl}.bin"
+        compress_file(src, out, block_size=16384, k=64, table_log=tl)
+        decompress_file(out, back)
+        assert back.read_bytes() == data
