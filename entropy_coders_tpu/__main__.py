@@ -103,7 +103,8 @@ def main(argv=None) -> int:
 
         st = frame_stats(open(args.infile, "rb").read())
         print(f"blocks={st.n_blocks} block_size={st.block_size} k={st.k} "
-              f"shared={st.shared_table} modes={st.mode_counts}")
+              f"shared={st.shared_table} modes={st.mode_counts} "
+              f"table_logs={st.table_log_counts}")
         print(f"ratio={st.ratio:.4f} header_bytes={st.header_bytes} "
               f"lane_tables={st.lane_size_table_bytes} "
               f"overhead={st.overhead:.4%}")

@@ -24,6 +24,9 @@ class FrameStats:
     header_bytes: int
     payload_bytes: int
     lane_size_table_bytes: int
+    # per-block table logs of the FSE-coded blocks, as {log: count} —
+    # shows what the "auto"/"fast" per-block policies actually chose
+    table_log_counts: dict = field(default_factory=dict)
 
     @property
     def ratio(self) -> float:
@@ -45,17 +48,25 @@ def frame_stats(frame: bytes) -> FrameStats:
     names = {F.MODE_FSE: "fse", F.MODE_RAW: "raw", F.MODE_RLE: "rle",
              F.MODE_FSE_PL: "fse_pl"}
     mode_counts: dict = {}
+    log_counts: dict = {}
     header_bytes = len(pf.shared_hdr)
     payload_bytes = 0
     lane_bytes = 0
+    shared_log = (NormHistogram.read(pf.shared_hdr)[0].log2
+                  if pf.shared and pf.shared_hdr else None)
     for i in range(pf.n_blocks):
         mode = names.get(int(pf.modes[i]), "?")
         mode_counts[mode] = mode_counts.get(mode, 0) + 1
         sec = pf.section(i)
-        if pf.modes[i] in (F.MODE_FSE, F.MODE_FSE_PL) and not pf.shared:
-            _, rest = NormHistogram.read(sec)
-            header_bytes += len(sec) - len(rest)
-            sec = rest
+        if pf.modes[i] in (F.MODE_FSE, F.MODE_FSE_PL):
+            if pf.shared:
+                if shared_log is not None:
+                    log_counts[shared_log] = log_counts.get(shared_log, 0) + 1
+            else:
+                hist, rest = NormHistogram.read(sec)
+                log_counts[hist.log2] = log_counts.get(hist.log2, 0) + 1
+                header_bytes += len(sec) - len(rest)
+                sec = rest
         if pf.modes[i] == F.MODE_FSE_PL:
             if pf.packed:
                 import struct
@@ -77,4 +88,5 @@ def frame_stats(frame: bytes) -> FrameStats:
         header_bytes=header_bytes,
         payload_bytes=payload_bytes,
         lane_size_table_bytes=lane_bytes,
+        table_log_counts=dict(sorted(log_counts.items())),
     )

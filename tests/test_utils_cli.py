@@ -31,6 +31,9 @@ def test_frame_stats_real_text():
     assert st.ratio < 0.75  # markdown text compresses well
     assert st.mode_counts.get("fse_pl", 0) >= 2
     assert 0 < st.overhead < 0.2
+    # every FSE-coded block contributes its table log to the breakdown
+    assert sum(st.table_log_counts.values()) == sum(
+        st.mode_counts.get(m, 0) for m in ("fse", "fse_pl"))
     assert F.decompress(comp, interpret=True) == data
 
 
