@@ -163,11 +163,12 @@ def run_fuzz(iters: int, seed: int, container_every: int = 4,
             _check_corruption(data[:max_container_bytes], rng, msg)
         if verbose:
             print(f"iter {i}/{iters} n={len(data)}", flush=True)
-        if wide and i and i % 200 == 0:
-            # the wide palette compiles a fresh jit program for nearly
-            # every container config; the in-process compile caches grow
-            # without bound and a long soak eventually dies in LLVM with
-            # ENOMEM (observed at ~1900 iterations) — drop them
+        if i and i % 200 == 0:
+            # nearly every container config (and every distinct tail
+            # length, even on the narrow palette) compiles a fresh jit
+            # program; the in-process compile caches grow without bound
+            # and a long soak eventually dies in LLVM with ENOMEM
+            # (observed at ~1900 wide / ~3000 narrow iterations)
             import jax
 
             jax.clear_caches()
