@@ -126,6 +126,11 @@ def _check_container(data: np.ndarray, rng: np.random.Generator,
     comp = F.compress(data, **kw)
     assert F.decompress(comp, interpret=True) == data.tobytes(), \
         f"container round trip {msg} {kw}"
+    if len(data):  # random-access range decode agrees with the slice
+        s = int(rng.integers(0, len(data)))
+        ln = int(rng.integers(0, len(data) - s + 1))
+        assert (F.decompress(comp, interpret=True, start=s, length=ln)
+                == data[s : s + ln].tobytes()), f"range decode {msg} {kw}"
 
 
 _VERBOSE = False
