@@ -48,7 +48,35 @@ def gen_sequence(prob: float, size: int, seed: int = 0xF5E) -> np.ndarray:
     return lut[i & (LUT_SIZE - 1)]
 
 
+def _backend_responsive(timeout_s: float = 120.0) -> bool:
+    """Probe TPU-plugin client init in a SUBPROCESS with a timeout.
+
+    A wedged device tunnel hangs ``jax.devices()`` inside an
+    uninterruptible C call (observed on this sandbox: make_c_api_client
+    blocked for hours) — probing in-process would hang the whole bench.
+    If the probe times out or fails, the caller falls back to the CPU
+    smoke path instead of hanging the driver."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    if not _backend_responsive():
+        print("bench: device backend unresponsive — forcing CPU smoke "
+              "path", file=sys.stderr)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
