@@ -146,3 +146,38 @@ def test_normalize_slow_path_roundtrip(rng):
     fse_compress(src, f, k=2, hist=n)
     assert fse_decompress(f, o, k=2) == len(src)
     assert bytes(o) == src.tobytes()
+
+
+def test_estimated_bits_tracks_actual_coded_size():
+    """The "fast" policy's cost model (normalize.estimated_bits) must
+    track the real spec-encoded size closely, else the policy's 0.5%
+    budget is meaningless. Checked across distributions and logs: the
+    estimate is within a few percent of the actual frame bits (payload
+    + header; k final states and the marker excluded from both sides)."""
+    import numpy as np
+
+    from entropy_coders_tpu.normalize import estimated_bits, normalize_batch
+    from entropy_coders_tpu.spec.codec import fse_compress
+    from tests.conftest import gen_sequence
+
+    rng = np.random.default_rng(7)
+    inputs = [
+        gen_sequence(0.2, 1 << 14),
+        gen_sequence(0.6, 1 << 14),
+        rng.integers(0, 50, 1 << 14).astype(np.uint8),
+        np.repeat(rng.integers(0, 256, 256).astype(np.uint8), 64),
+    ]
+    for data in inputs:
+        n = len(data)
+        counts = np.bincount(data, minlength=256).astype(np.uint64)[None]
+        for L in (8, 9, 10, 11):
+            tables, log2s = normalize_batch(counts, n, L)
+            est = float(estimated_bits(counts, tables, log2s)[0])
+            from entropy_coders_tpu.spec.histogram import Histogram
+            hist = Histogram(data).normalize(int(log2s[0]))
+            frame = bytearray()
+            _, payload_bits = fse_compress(data, frame, k=1, hist=hist)
+            hdr_bits = 8 * (len(frame) - (payload_bits + 7) // 8)
+            actual = payload_bits + hdr_bits - int(log2s[0]) - 1
+            assert abs(est - actual) / actual < 0.05, (
+                f"estimator off: est={est} actual={actual} L={log2s[0]}")
