@@ -65,8 +65,15 @@ def main():
         "multihost auto-table_log frame != single-process frame"
     assert MH.decompress(auto_frame, interpret=True) == data.tobytes()
 
+    # the throughput-biased policy is deterministic per block, so the
+    # merged multi-host frame must also match single-process bytes
+    fast_frame = MH.compress(data, table_log="fast", **kwargs)
+    assert fast_frame == F.compress(data, table_log="fast", **kwargs), \
+        "multihost fast-table_log frame != single-process frame"
+    assert MH.decompress(fast_frame, interpret=True) == data.tobytes()
+
     digest = hashlib.sha256(global_frame + shared_frame
-                            + auto_frame).hexdigest()
+                            + auto_frame + fast_frame).hexdigest()
     print("OK", digest, flush=True)
 
 
