@@ -201,10 +201,17 @@ def compress(
             if np.count_nonzero(counts_all) <= 1:
                 shared_table = False  # degenerate data: all RLE/RAW
             else:
-                tables, log2s = normalize_batch(counts_all[None], total_len,
-                                                table_log)
-                s_shared = (tables[0], int(log2s[0]))
-                shared_hdr = _write_header(tables[0], int(log2s[0]))
+                try:
+                    tables, log2s = normalize_batch(counts_all[None],
+                                                    total_len, table_log)
+                except ValueError:
+                    # un-normalizable whole input (e.g. < 9 bytes with a
+                    # policy log): blocks degrade to RAW/RLE like the
+                    # per-block path does
+                    shared_table = False
+                else:
+                    s_shared = (tables[0], int(log2s[0]))
+                    shared_hdr = _write_header(tables[0], int(log2s[0]))
 
     nsym = None
     if full:

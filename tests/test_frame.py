@@ -219,3 +219,16 @@ def test_fast_table_log_policy(rng):
                        table_log="auto", interpret=True)
         assert F.decompress(f, interpret=True) == data.tobytes()
         assert len(f) <= len(a) * 1.01  # eps=0.5% on estimates + slack
+
+
+def test_tiny_input_shared_table_policy_degrades():
+    """< 9 bytes cannot be normalized (optimal_log2 precondition); the
+    shared-table + policy-log combination must degrade to RAW/RLE like
+    the per-block path instead of raising (found by fuzz_diff wide)."""
+    for n in (1, 2, 5, 8):
+        data = (np.arange(n) % 5).astype(np.uint8)
+        for tl in ("auto", "fast", None):
+            comp = F.compress(data, block_size=1 << 12, k=16,
+                              shared_table=True, table_log=tl,
+                              interpret=True)
+            assert F.decompress(comp, interpret=True) == data.tobytes()
