@@ -137,10 +137,17 @@ def compress(data, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
             table_log = kwargs.get("table_log")
             if table_log is None:
                 table_log = F.PL_TABLE_LOG if lanes else F.TABLE_LOG_DEFAULT
-            tables, log2s = normalize_batch(
-                counts_all[None].astype(np.uint32), total_len, table_log)
-            kwargs["shared_hist"] = (tables[0], int(log2s[0]))
-            shared_hdr = F._write_header(tables[0], int(log2s[0]))
+            try:
+                tables, log2s = normalize_batch(
+                    counts_all[None].astype(np.uint32), total_len, table_log)
+            except ValueError:
+                # un-normalizable global input (e.g. < 9 total bytes
+                # with a policy log): every process takes the same
+                # deterministic fallback to per-block RAW/RLE modes
+                shared_table = False
+            else:
+                kwargs["shared_hist"] = (tables[0], int(log2s[0]))
+                shared_hdr = F._write_header(tables[0], int(log2s[0]))
 
     local_frame = F.compress(local, block_size=block_size, k=k,
                              shared_table=shared_table,
