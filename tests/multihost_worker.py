@@ -1,7 +1,11 @@
 """Worker for tests/test_multihost.py — one real JAX process per "host".
 
-Usage: python multihost_worker.py <port> <num_processes> <process_id>
-Prints `OK <sha256-of-global-frame>` on success."""
+Usage: python multihost_worker.py <port> <num_processes> <process_id> \
+           [n_blocks]
+Prints `OK <sha256-of-global-frame>` on success. With an explicit
+``n_blocks`` the worker runs the QUICK leg set (global + shared-table
+frames only) — used by the 4-process test where one process owns ZERO
+blocks and block ownership is uneven."""
 
 import hashlib
 import sys
@@ -22,11 +26,13 @@ from tests.conftest import gen_sequence  # noqa: E402
 
 def main():
     port, num, pid = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+    quick = len(sys.argv) > 4
+    n_blocks = int(sys.argv[4]) if quick else 6
     MH.init_distributed(f"127.0.0.1:{port}", num_processes=num,
                         process_id=pid, cpu_collectives="gloo")
     assert jax.process_count() == num
 
-    data = gen_sequence(0.2, 5 * 4096 + 321)  # 6 blocks over 2 hosts
+    data = gen_sequence(0.2, (n_blocks - 1) * 4096 + 321)
     kwargs = dict(block_size=4096, k=128, lanes=True, interpret=True,
                   checksum=True)
 
@@ -40,11 +46,13 @@ def main():
     assert out == data.tobytes()
 
     # host-sharded decompress (no assembly): exactly the owned byte range
+    # (b"" for a process that owns zero blocks)
     start, local = MH.decompress(global_frame, assemble=False,
                                  interpret=True)
-    lo, hi = MH.owned_blocks(6)
+    lo, hi = MH.owned_blocks(n_blocks)
     assert start == lo * 4096
-    assert local == data.tobytes()[start:min(hi * 4096, len(data))]
+    assert local == data.tobytes()[start:max(min(hi * 4096, len(data)),
+                                             start)]
 
     # shared-table mode: per-process histograms all-reduce into ONE
     # global table; the merged frame must be byte-identical to the
@@ -56,6 +64,11 @@ def main():
     pf = F._parse_frame(shared_frame)
     assert pf.shared and len(pf.shared_hdr) > 0
     assert MH.decompress(shared_frame, interpret=True) == data.tobytes()
+
+    if quick:
+        digest = hashlib.sha256(global_frame + shared_frame).hexdigest()
+        print("OK", digest, flush=True)
+        return
 
     # per-block optimal_log2 policy across hosts: each host's sub-frame
     # carries heterogeneous per-block logs; the ordered merge must still

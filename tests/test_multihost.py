@@ -23,7 +23,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_roundtrip():
+def _run_workers(num: int, extra_args=()):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # workers use 1 CPU device each
     env["JAX_PLATFORMS"] = "cpu"
@@ -32,10 +32,11 @@ def test_two_process_roundtrip():
         port = _free_port()
         procs = [
             subprocess.Popen(
-                [sys.executable, WORKER, str(port), "2", str(i)],
+                [sys.executable, WORKER, str(port), str(num), str(i),
+                 *map(str, extra_args)],
                 stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 env=env, text=True)
-            for i in range(2)
+            for i in range(num)
         ]
         outs, rcs = [], []
         for p in procs:
@@ -55,3 +56,15 @@ def test_two_process_roundtrip():
     hashes = {line.split()[1] for o, _ in outs for line in o.splitlines()
               if line.startswith("OK")}
     assert len(hashes) == 1, f"hosts disagree on the frame: {outs}"
+
+
+def test_two_process_roundtrip():
+    _run_workers(2)
+
+
+def test_four_process_uneven_ownership():
+    """4 real processes over 3 blocks: ownership i*3//4 gives process 0
+    ZERO blocks and the rest one each — the merge must skip the empty
+    sub-frame and still produce single-process-identical bytes (quick
+    leg set: global + shared-table frames)."""
+    _run_workers(4, extra_args=(3,))
