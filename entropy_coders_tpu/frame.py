@@ -122,6 +122,36 @@ PL_TABLE_LOG = 10  # flagship default: decode cost scales with 2^L/128
                    # bench distribution for ~1.5x the decode speed
 
 
+def resolve_shared_table(counts_all, total_len: int, table_log, lanes):
+    """Resolve the shared-table decision from EXACT global counts.
+
+    Returns ``(norm_table (256,) int32, log2)`` — or ``None`` when the
+    input degrades to per-block RAW/RLE modes (degenerate <=1-symbol
+    data, or an un-normalizable total such as < 9 bytes under a policy
+    log). ``table_log``/``lanes`` of ``None`` resolve to the same
+    defaults ``compress`` uses.
+
+    This is the single normative copy of the policy: ``compress``
+    (single process) and ``parallel.multihost.compress`` (DCN
+    all-reduced counts) both call it, which is what keeps multi-host
+    shared frames byte-identical to single-process ones. Counts stay
+    int64/uint64-exact throughout — aggregated multi-host histograms
+    legitimately exceed u32 per-symbol counts past 4 GiB of input."""
+    if lanes is None:
+        lanes = jax.default_backend() == "tpu"
+    if table_log is None:
+        table_log = PL_TABLE_LOG if lanes else TABLE_LOG_DEFAULT
+    counts_all = np.asarray(counts_all)
+    if np.count_nonzero(counts_all) <= 1:
+        return None
+    try:
+        tables, log2s = normalize_batch(counts_all[None], total_len,
+                                        table_log)
+    except ValueError:
+        return None
+    return tables[0], int(log2s[0])
+
+
 def compress(
     data,
     *,
@@ -191,27 +221,18 @@ def compress(
             # normalizes the allgathered counts identically and passes
             # the result here, so all sub-frames share one table even
             # though no process saw the whole input)
-            tables = np.asarray(shared_hist[0], np.int32)[None]
-            log2s = np.array([int(shared_hist[1])])
-            s_shared = (tables[0], int(log2s[0]))
-            shared_hdr = _write_header(tables[0], int(log2s[0]))
+            s_shared = (np.asarray(shared_hist[0], np.int32),
+                        int(shared_hist[1]))
         else:
             # one histogram over everything, one table for every block
-            counts_all = np.bincount(data, minlength=256).astype(np.uint32)
-            if np.count_nonzero(counts_all) <= 1:
-                shared_table = False  # degenerate data: all RLE/RAW
-            else:
-                try:
-                    tables, log2s = normalize_batch(counts_all[None],
-                                                    total_len, table_log)
-                except ValueError:
-                    # un-normalizable whole input (e.g. < 9 bytes with a
-                    # policy log): blocks degrade to RAW/RLE like the
-                    # per-block path does
-                    shared_table = False
-                else:
-                    s_shared = (tables[0], int(log2s[0]))
-                    shared_hdr = _write_header(tables[0], int(log2s[0]))
+            # (int64 counts: stay exact past u32 for > 4 GiB inputs)
+            s_shared = resolve_shared_table(
+                np.bincount(data, minlength=256), total_len, table_log,
+                lanes)
+        if s_shared is None:
+            shared_table = False  # degenerate / un-normalizable input:
+        else:                     # blocks degrade to RAW/RLE
+            shared_hdr = _write_header(*s_shared)
 
     nsym = None
     if full:
@@ -228,8 +249,9 @@ def compress(
         codable = np.flatnonzero(nsym > 1)
         if codable.size:
             if shared_table:
-                norm_tables = np.repeat(tables, codable.size, axis=0)
-                log2_arr = np.repeat(log2s, codable.size)
+                norm_tables = np.repeat(s_shared[0][None], codable.size,
+                                        axis=0)
+                log2_arr = np.full(codable.size, s_shared[1], np.int64)
             else:
                 norm_tables, log2_arr = normalize_batch(
                     counts[codable], block_size, table_log

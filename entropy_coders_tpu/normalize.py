@@ -189,6 +189,6 @@ def _normalize_rows(t: np.ndarray, size: int, log2: int) -> np.ndarray:
     degenerate = (t == np.uint64(size)).any(axis=1)
     slow = (to_distribute != 0) & (-to_distribute >= (largest_prob >> 1))
     for r in np.flatnonzero(degenerate | slow):
-        h = Histogram.from_counts(t[r].astype(np.uint32), size)
+        h = Histogram.from_counts(t[r], size)  # t is uint64-exact
         out[r] = h.normalize(log2).table
     return out

@@ -1153,7 +1153,8 @@ def lane_merge_bits(words: np.ndarray, sizes_bits: np.ndarray) -> bytes:
     lanes[col >= nb[:, None]] = 0  # zero bytes past each lane's size
     top = (sizes_bits & 7).astype(np.int64)
     last_mask = np.where(top, (1 << np.maximum(top, 1)) - 1, 0xFF)
-    lanes[np.arange(k), np.maximum(nb - 1, 0)] &= last_mask.astype(np.uint8)
+    if k and maxnb:  # all-zero sizes: nothing to mask (empty payload)
+        lanes[np.arange(k), np.maximum(nb - 1, 0)] &= last_mask.astype(np.uint8)
     out = np.zeros((total + 7) // 8 + 1, np.uint8)
     shift = (offs[:-1] & 7).astype(np.int64)
     for s in range(8):
@@ -1206,7 +1207,7 @@ def lane_split_bits(payload: bytes, sizes_bits: np.ndarray, k: int):
     lanes[col >= nb[:, None]] = 0
     top = (sizes_bits & 7).astype(np.int64)
     last_mask = np.where(top, (1 << np.maximum(top, 1)) - 1, 0xFF)
-    if k:
+    if k and maxnb:  # all-zero sizes: nothing to mask (empty payload)
         lanes[np.arange(k), np.maximum(nb - 1, 0)] &= last_mask.astype(np.uint8)
     cols[:, :maxnb] = lanes
     return np.ascontiguousarray(cols.view(np.uint32).reshape(k, W).T), W

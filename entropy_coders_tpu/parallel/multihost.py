@@ -112,8 +112,6 @@ def compress(data, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
     if shared_table:
         from jax.experimental import multihost_utils
 
-        from ..normalize import normalize_batch
-
         # 256-counter histogram all-reduce over DCN: local count ->
         # allgather -> identical elementwise sum everywhere. Local counts
         # can reach 2^32 (a 4 GiB single-symbol slice) but
@@ -127,27 +125,17 @@ def compress(data, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
             multihost_utils.process_allgather(halves)).astype(np.int64)
         gathered = gathered.reshape(-1, 2, 256)
         counts_all = ((gathered[:, 0] << 16) + gathered[:, 1]).sum(axis=0)
-        if np.count_nonzero(counts_all) <= 1:
-            shared_table = False  # degenerate everywhere: RLE/RAW blocks
+        # the ONE normative policy copy (frame.resolve_shared_table)
+        # decides degenerate/un-normalizable fallbacks and default logs,
+        # so every process — and the single-process path — agrees
+        s = F.resolve_shared_table(counts_all, total_len,
+                                   kwargs.get("table_log"),
+                                   kwargs.get("lanes"))
+        if s is None:
+            shared_table = False  # deterministic per-block RAW/RLE
         else:
-            lanes = kwargs.get("lanes")
-            if lanes is None:
-                import jax as _jax
-                lanes = _jax.default_backend() == "tpu"
-            table_log = kwargs.get("table_log")
-            if table_log is None:
-                table_log = F.PL_TABLE_LOG if lanes else F.TABLE_LOG_DEFAULT
-            try:
-                tables, log2s = normalize_batch(
-                    counts_all[None].astype(np.uint32), total_len, table_log)
-            except ValueError:
-                # un-normalizable global input (e.g. < 9 total bytes
-                # with a policy log): every process takes the same
-                # deterministic fallback to per-block RAW/RLE modes
-                shared_table = False
-            else:
-                kwargs["shared_hist"] = (tables[0], int(log2s[0]))
-                shared_hdr = F._write_header(tables[0], int(log2s[0]))
+            kwargs["shared_hist"] = s
+            shared_hdr = F._write_header(*s)
 
     local_frame = F.compress(local, block_size=block_size, k=k,
                              shared_table=shared_table,

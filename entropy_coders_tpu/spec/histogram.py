@@ -77,8 +77,12 @@ class Histogram:
 
     @classmethod
     def from_counts(cls, counts, size: int | None = None) -> "Histogram":
+        # uint64: normalize() itself computes in Python ints, and
+        # aggregated histograms (multi-host shared tables over > 4 GiB
+        # total input) legitimately exceed u32 per-symbol counts even
+        # though a single in-memory buffer never does
         self = cls.__new__(cls)
-        self.table = np.asarray(counts, dtype=np.uint32).copy()
+        self.table = np.asarray(counts, dtype=np.uint64).copy()
         assert self.table.shape == (ALPHABET,)
         self.size = int(self.table.sum()) if size is None else size
         self.table_len = _table_len_of(self.table)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import mmap
 import os
-import tempfile
+import secrets
 
 import numpy as np
 
@@ -26,32 +26,34 @@ from . import frame as F
 __all__ = ["compress_file", "decompress_file"]
 
 
-# read once at import: os.umask() can only be READ by setting it, and the
-# set/restore window is thread-unsafe — per-call swapping would let files
-# created by other threads in that window get mode-0 umasks
-_UMASK = os.umask(0)
-os.umask(_UMASK)
-
-
 def _mkstemp_for(dst_path):
     """Open a unique same-directory temp file for atomic replace of
     ``dst_path``. Concurrent invocations targeting the same destination
     must never share (or unlink) each other's in-progress file, so the
-    name is randomized; permissions are widened from mkstemp's 0600 to
-    the umask default so the renamed result matches a normally-created
-    file. Returns ``(open binary file object, tmp_path)`` — the fd is
-    wrapped immediately so no exception window can leak it."""
+    name is randomized. The file is created directly at mode 0o666 with
+    O_EXCL — the kernel applies the caller's CURRENT umask at creation
+    exactly like a normal ``open``, so the renamed result matches a
+    normally-created file with no umask probe/restore window (``os.umask``
+    can only be read by setting it, which is thread-unsafe). Returns
+    ``(open binary file object, tmp_path)`` — the fd is wrapped
+    immediately so no exception window can leak it."""
     dst = os.fspath(dst_path)
-    fd, tmp_path = tempfile.mkstemp(dir=os.path.dirname(dst) or ".",
-                                    prefix=os.path.basename(dst) + ".tmp.")
-    try:
-        os.chmod(tmp_path, 0o666 & ~_UMASK)
-        f = os.fdopen(fd, "wb")
-    except BaseException:
-        os.close(fd)
-        os.unlink(tmp_path)
-        raise
-    return f, tmp_path
+    d = os.path.dirname(dst) or "."
+    prefix = os.path.basename(dst) + ".tmp."
+    for _ in range(100):
+        tmp_path = os.path.join(d, prefix + secrets.token_hex(8))
+        try:
+            fd = os.open(tmp_path,
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o666)
+        except FileExistsError:
+            continue
+        try:
+            return os.fdopen(fd, "wb"), tmp_path
+        except BaseException:
+            os.close(fd)
+            os.unlink(tmp_path)
+            raise
+    raise FileExistsError(f"could not create a unique temp file for {dst}")
 
 
 def compress_file(src_path, dst_path, *, block_size: int = F.DEFAULT_BLOCK_SIZE,

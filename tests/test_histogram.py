@@ -181,3 +181,38 @@ def test_estimated_bits_tracks_actual_coded_size():
             actual = payload_bits + hdr_bits - int(log2s[0]) - 1
             assert abs(est - actual) / actual < 0.05, (
                 f"estimator off: est={est} actual={actual} L={log2s[0]}")
+
+
+def test_normalize_exact_past_u32_counts():
+    """Aggregated histograms (multi-host shared tables over > 4 GiB
+    total input) carry per-symbol counts past u32; the batch normalizer
+    and the shared-table resolver must stay int64/uint64-exact instead
+    of wrapping (regression: counts were cast to uint32 on the way in,
+    silently mis-weighting or zeroing symbols)."""
+    from entropy_coders_tpu import frame as F
+    from entropy_coders_tpu.normalize import normalize_batch
+
+    c = np.zeros(256, np.int64)
+    c[0] = 3 << 32            # 12 GiB of symbol 0
+    c[1] = 1 << 32            # 4 GiB of symbol 1
+    c[2] = 5                  # a trace symbol (u32-wrapped counts would
+    total = int(c.sum())      # make it dominate or vanish)
+    tables, log2s = normalize_batch(c[None], total, 10)
+    t, L = tables[0], int(log2s[0])
+    # slot accounting: a -1 low-prob sentinel owns exactly 1 table slot
+    assert np.where(t > 0, t, (t == -1).astype(np.int64)).sum() == 1 << L
+    # 3:1 mass split must survive; the trace symbol is low-prob (-1)
+    assert t[1] > 0 and abs(t[0] / t[1] - 3.0) < 0.05
+    assert t[2] == -1
+    assert (t[3:] == 0).all()
+
+    s = F.resolve_shared_table(c, total, 10, lanes=False)
+    assert s is not None and np.array_equal(s[0], t) and s[1] == L
+
+    # u32-multiple wrap-to-zero case: symbol with count 2^32 must NOT
+    # disappear from the resolved table
+    c2 = np.zeros(256, np.int64)
+    c2[7] = 1 << 32
+    c2[9] = 1 << 32
+    s2 = F.resolve_shared_table(c2, int(c2.sum()), 8, lanes=False)
+    assert s2 is not None and s2[0][7] > 0 and s2[0][9] > 0

@@ -123,3 +123,26 @@ def test_native_single_symbol_rejected():
         native.compress(b"\x09" * 18, k=1)
     with pytest.raises(ValueError):
         native.decompress(bytes.fromhex("10de1f20"), k=1, max_out=64)
+
+
+def test_committed_library_is_portable():
+    """The committed/shipped libfse_native.so must be a PORTABLE build:
+    dlopen accepts a binary with unsupported vector extensions and the
+    process then dies with an uncatchable SIGILL at the first call, so
+    an arch-tuned binary must never be committed (tuned builds go to the
+    gitignored .local.so — native/build.py). Guard: no AVX-512/AMX
+    instructions in the disassembly (skips when objdump is missing)."""
+    import shutil
+    import subprocess
+
+    from entropy_coders_tpu.native.build import LIB
+
+    if not LIB.exists():
+        pytest.skip("no committed native library")
+    if not shutil.which("objdump"):
+        pytest.skip("objdump unavailable")
+    dis = subprocess.run(["objdump", "-d", str(LIB)],
+                         capture_output=True, text=True, check=True).stdout
+    bad = [ln for ln in dis.splitlines()
+           if any(tok in ln for tok in ("%zmm", "vpternlog", "%tmm"))]
+    assert not bad, f"arch-specific instructions in committed .so: {bad[:3]}"

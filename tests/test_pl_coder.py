@@ -368,3 +368,23 @@ def test_bits_fallbacks_match_native_fuzz():
             got_s, _ = PL.lane_split_bits(ref_m, sizes, k)
             assert np.array_equal(got_s[:W], ref_s)
             assert PL.lane_merge_bits(got_s, sizes) == ref_m
+
+
+def test_bits_all_zero_sizes_fallback():
+    """Degenerate all-zero lane sizes: the vectorized numpy fallbacks
+    must return an empty payload / zero words like the native path
+    (regression: the shift-class rewrite indexed column 0 of a 0-wide
+    array and raised IndexError)."""
+    import unittest.mock as mock
+
+    from entropy_coders_tpu import native
+
+    k, W = 128, 8
+    words = np.zeros((W, k), np.uint32)
+    sizes = np.zeros(k, np.int64)
+    with mock.patch.object(native, "available", lambda: False):
+        assert PL.lane_merge_bits(words, sizes) == b""
+        back, Wb = PL.lane_split_bits(b"", sizes, k)
+        assert back.shape == (Wb, k) and not back.any()
+    if native.available():
+        assert native.lane_merge_bits(words, sizes) == b""
