@@ -342,13 +342,19 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
     blo = jnp.where(slide, nv, blo)
     wb = jnp.where(slide, wb2, wb)
 
+    # when R % E == 0 every (r, e) round is real and the tail masking
+    # below is provably dead — skip it at compile time (the shipping
+    # 16 MiB/k=16384 config has R=1023, E=3: exact)
+    exact = R % E == 0
     for e in range(E):
         nb, base, sym = _entry(states)
-        active = (r * E + e) < R
-        nb = jnp.where(active, nb, 0)
+        if not exact:
+            active = (r * E + e) < R
+            nb = jnp.where(active, nb, 0)
         c = c - nb
         low = _read_window(blo, bhi, c - wb * 32, nb)
-        states = jnp.where(active, base + low, states)
+        ns = base + low
+        states = ns if exact else jnp.where(active, ns, states)
         syms_ref[0, e] = sym.astype(jnp.uint8)
 
     state_s[:], cur_s[:] = states, c
@@ -897,6 +903,9 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
     # _put chains per epoch than inserting round by round
     vacc = jnp.zeros((S, 128), jnp.int32)
     bacc = jnp.zeros((S, 128), jnp.int32)
+    # when R % E == 0 every (r, e) round is real: skip the dead tail
+    # masking at compile time (the shipping config has R=1023, E=3)
+    exact = R % E == 0
     for e in range(E):
         # rounds are consumed in reverse raw order (reference
         # src/lib.rs:120): the grid walks natural chunks back-to-front
@@ -905,11 +914,12 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         sym = syms_ref[0, E - 1 - e].astype(jnp.int32)
         tb, fs = _sym_transform(sym)
         bits_out = _shr_u(tb + states, 16)
-        active = (r * E + e) < R
-        bits_out = jnp.where(active, bits_out, 0)
+        if not exact:
+            active = (r * E + e) < R
+            bits_out = jnp.where(active, bits_out, 0)
         val = states & (lax.shift_left(jnp.int32(1), bits_out) - 1)
         nstate = _next_state(_shr_u(states, bits_out) + fs)
-        states = jnp.where(active, nstate, states)
+        states = nstate if exact else jnp.where(active, nstate, states)
         vacc = vacc | lax.shift_left(val, bacc)
         bacc = bacc + bits_out
     blo, bhi = _put(blo, bhi, c - wb * 32, vacc)
