@@ -54,20 +54,30 @@ def _backend_responsive(timeout_s: float = 120.0) -> bool:
     A wedged device tunnel hangs ``jax.devices()`` inside an
     uninterruptible C call (observed on this sandbox: make_c_api_client
     blocked for hours) — probing in-process would hang the whole bench.
-    If the probe times out or fails, the caller falls back to the CPU
-    smoke path instead of hanging the driver."""
+    Transient tunnel outages of a few minutes also happen, so the probe
+    retries (ECT_BENCH_PROBE_RETRIES, default 3, 60 s apart) before the
+    caller falls back to the CPU smoke path; worst case ~9 min, bounded
+    so the driver is never hung indefinitely."""
     import subprocess
     import sys
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; jax.devices(); print('ok')"],
-            capture_output=True, text=True, timeout=timeout_s,
-        )
-        return r.returncode == 0 and "ok" in r.stdout
-    except Exception:
-        return False
+    retries = max(int(os.environ.get("ECT_BENCH_PROBE_RETRIES", "3")), 1)
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if r.returncode == 0 and "ok" in r.stdout:
+                return True
+        except Exception:
+            pass
+        if attempt + 1 < retries:
+            print("bench: device probe attempt %d/%d failed — retrying"
+                  % (attempt + 1, retries), file=sys.stderr)
+            time.sleep(60)
+    return False
 
 
 def main():
