@@ -704,7 +704,7 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
 
 
 def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
-                 mesh=None):
+                 mesh=None, e_rounds=None):
     """Decode B blocks of k per-lane streams.
 
     words: (B, W, k) uint32 — per-lane stream words; words[b, w, i] is word
@@ -716,6 +716,9 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
       axis and decoded data-parallel (B must be a multiple of mesh.size).
     Small-k blocks are fused into ~FUSE_LANES-lane superblocks (the
     per-sublane table gather gives every block its own table for free).
+    e_rounds: override rounds-per-epoch E (tuning/testing knob — e.g. to
+    pin the exact-R vs masked-tail epoch specializations against each
+    other; wire bytes are E-independent).
     Returns (syms (B, R, k) uint8, finals (B, k) uint8); raises ValueError
     on a corrupt stream (any lane cursor not exactly drained)."""
     B, W, kk = words.shape
@@ -743,7 +746,7 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
     tbl = _expand_tbl(rows_list, k // 128, F)
 
     call = functools.partial(_decode_call, S=S, W=W, L=L, R=R,
-                             interpret=interpret)
+                             interpret=interpret, e_rounds=e_rounds)
     if mesh is not None:
         assert Bf % mesh.size == 0, (Bf, mesh.size)
         call = _shard_over_blocks(call, mesh, 3)
@@ -1020,7 +1023,7 @@ def _encode_call(syms, init_syms, symt, stt, *, S, W, L, R,
 
 
 def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
-                 mesh=None):
+                 mesh=None, e_rounds=None):
     """Encode B blocks of k per-lane streams.
 
     syms: (B, R, k) uint8 — round-major lane symbols (round r, lane i = byte
@@ -1033,6 +1036,8 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
       see encode_w_bound).
     mesh: optional jax.sharding.Mesh — blocks shard over its first axis
       and encode data-parallel (B must be a multiple of mesh.size).
+    e_rounds: override rounds-per-epoch E (tuning/testing knob; wire
+      bytes are E-independent).
     Returns (words (B, W_act, k) uint32, sizes (B, k) int32 bit counts)."""
     B, R, kk = syms.shape
     assert kk == k and k % 128 == 0
@@ -1062,7 +1067,7 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
     sttf = _expand_tbl(stt, k // 128, F)
 
     call = functools.partial(_encode_call, S=S, W=W, L=L, R=R,
-                             interpret=interpret)
+                             interpret=interpret, e_rounds=e_rounds)
     if mesh is not None:
         assert Bf % mesh.size == 0, (Bf, mesh.size)
         from jax.sharding import PartitionSpec

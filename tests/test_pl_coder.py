@@ -388,3 +388,33 @@ def test_bits_all_zero_sizes_fallback():
         assert back.shape == (Wb, k) and not back.any()
     if native.available():
         assert native.lane_merge_bits(words, sizes) == b""
+
+
+def test_exact_and_masked_epoch_paths_agree():
+    """The kernels compile a specialized epoch body when R % E == 0 (no
+    per-round tail masking — the shipping config's case). Pin it against
+    the masked-tail body: the same block coded with E=3 (R=9, exact) and
+    E=2 (masked) must produce identical wire bytes, and both must decode;
+    the oracle stream is the ground truth for both."""
+    B, k, Q = 2, 256, 10  # R = 9: divisible by 3 (exact), not by 2
+    datas, hists = _mk(23, B, k, Q, geo)
+    L, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
+    R = Q - 1
+    assert R % 3 == 0 and R % 2 == 1 and 3 * L <= 32
+
+    syms_in = np.stack([d[: R * k].reshape(R, k) for d in datas])
+    init_syms = np.stack([d[R * k:] for d in datas])
+    We = PL.encode_w_bound(R, L)
+    merged = []
+    for e_rounds in (3, 2):
+        kw, ks = PL.encode_lanes(syms_in, init_syms, encs, k=k, L=L, W=We,
+                                 interpret=True, e_rounds=e_rounds)
+        assert (ks == sizes).all()
+        merged.append([PL.lane_merge(kw[b], ks[b]) for b in range(B)])
+
+        syms, finals = PL.decode_lanes(words, sizes, packs, k=k, L=L, R=R,
+                                       interpret=True, e_rounds=e_rounds)
+        for b, data in enumerate(datas):
+            got = np.concatenate([syms[b].reshape(-1), finals[b]])
+            assert got.tobytes() == data.tobytes()
+    assert merged[0] == merged[1]
