@@ -650,21 +650,33 @@ def _subframe_parts(pf: "_ParsedFrame"):
 
 
 def decompress(frame: bytes, *, sharding=None, interpret: bool = False,
-               start: int = 0, length: int | None = None) -> bytes:
+               start: int = 0, length: int | None = None, out=None):
     """Decompress a TPU container frame back to bytes.
 
     ``start``/``length`` decode only the blocks overlapping that byte
     range (random access — every block is independently decodable) and
     return exactly that slice. When the frame carries per-block crc32s
-    (``compress(checksum=True)``), each decoded block is verified."""
+    (``compress(checksum=True)``), each decoded block is verified.
+
+    ``out``: optional writable buffer (bytearray, writable memoryview,
+    uint8 numpy array, mmap) the decoded range is written into instead
+    of allocating fresh ``bytes`` — the container-level analog of the
+    reference's decompress-into-caller-buffer API (reference:
+    src/lib.rs:187-211). Block-aligned ranges (``start`` a multiple of
+    the block size and the range ending on a block boundary or at the
+    frame end — every full-frame call qualifies) decode directly into
+    ``out`` with no intermediate copy. Returns the byte count written
+    when ``out`` is given, the decoded ``bytes`` otherwise. On a
+    ValueError (corrupt frame / crc mismatch) ``out``'s contents are
+    unspecified."""
     return _decompress_parsed(_parse_frame(frame), sharding=sharding,
                               interpret=interpret, start=start,
-                              length=length)
+                              length=length, out=out)
 
 
 def _decompress_parsed(pf: "_ParsedFrame", *, sharding=None,
                        interpret: bool = False, start: int = 0,
-                       length: int | None = None) -> bytes:
+                       length: int | None = None, out=None):
     """Range-decode an already-parsed frame (callers that decode many
     ranges of one frame — file streaming — parse once)."""
     if length is None:
@@ -682,7 +694,21 @@ def _decompress_parsed(pf: "_ParsedFrame", *, sharding=None,
     base = b_lo * pf.block_size
     span = min(wanted.stop * pf.block_size, pf.total_len) - base \
         if len(wanted) else 0
-    out = np.zeros(max(span, 0), np.uint8)
+    cb_direct = cb_view = None
+    if out is not None:
+        cb_view = memoryview(out).cast("B")
+        if cb_view.readonly:
+            raise ValueError("out buffer is read-only")
+        if cb_view.nbytes < length:
+            raise ValueError(
+                f"out buffer too small: {cb_view.nbytes} < {length}")
+        if start == base and span == length:
+            # block-aligned range: decode straight into the caller's
+            # buffer (every block's bytes land inside [base, base+span),
+            # which all wanted blocks jointly cover — no staging copy)
+            cb_direct = np.frombuffer(cb_view, np.uint8, count=span)
+    out = cb_direct if cb_direct is not None \
+        else np.zeros(max(span, 0), np.uint8)
 
     shared_tbl = shared_l2 = None
     if pf.shared:
@@ -728,6 +754,11 @@ def _decompress_parsed(pf: "_ParsedFrame", *, sharding=None,
             got = zlib.crc32(out[o : o + rl]) & 0xFFFFFFFF
             if got != int(pf.crcs[i]):
                 raise ValueError(f"block {i}: crc mismatch (corrupt frame)")
+    if cb_view is not None:
+        if cb_direct is None:  # unaligned range: one staging copy
+            np.frombuffer(cb_view, np.uint8, count=length)[:] = \
+                out[start - base : start - base + length]
+        return length
     return out[start - base : start - base + length].tobytes()
 
 

@@ -138,13 +138,19 @@ def decompress_file(src_path, dst_path, *, chunk_blocks: int = 64,
                 mm = b""
             pf = F._parse_frame(mm)
             with fout:
+                # one reusable chunk buffer: every chunk is block-aligned,
+                # so _decompress_parsed's out= path decodes straight into
+                # it (no per-chunk bytes allocation + copy)
+                buf = bytearray(min(chunk_blocks * max(pf.block_size, 1),
+                                    pf.total_len))
                 for b_lo in range(0, pf.n_blocks, chunk_blocks):
                     start = b_lo * pf.block_size
                     length = min((b_lo + chunk_blocks) * pf.block_size,
                                  pf.total_len) - start
-                    fout.write(F._decompress_parsed(
+                    n = F._decompress_parsed(
                         pf, start=start, length=length,
-                        interpret=interpret))
+                        interpret=interpret, out=buf)
+                    fout.write(memoryview(buf)[:n])
                 total = fout.tell()
         if total != pf.total_len:
             raise ValueError("decoded length mismatch")

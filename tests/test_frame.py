@@ -232,3 +232,38 @@ def test_tiny_input_shared_table_policy_degrades():
                               shared_table=True, table_log=tl,
                               interpret=True)
             assert F.decompress(comp, interpret=True) == data.tobytes()
+
+
+def test_decompress_into_out_buffer(rng):
+    """out= decodes into a caller buffer: full frame (zero-copy aligned
+    path), aligned and unaligned ranges (staging-copy path), and the
+    error contract (too small / read-only)."""
+    data = gen_sequence(0.2, (1 << 14) + 123)
+    comp = F.compress(data, block_size=1 << 12, k=32, checksum=True)
+
+    buf = bytearray(len(data))
+    n = F.decompress(comp, out=buf)
+    assert n == len(data)
+    np.testing.assert_array_equal(np.frombuffer(buf, np.uint8), data)
+
+    # numpy target, aligned sub-range (zero-copy eligible)
+    bs = 1 << 12
+    arr = np.full(2 * bs, 0xAB, np.uint8)
+    n = F.decompress(comp, start=bs, length=2 * bs, out=arr)
+    assert n == 2 * bs
+    np.testing.assert_array_equal(arr, data[bs: 3 * bs])
+
+    # unaligned range lands via the staging copy; oversized out is fine
+    buf2 = bytearray(5000)
+    n = F.decompress(comp, start=17, length=4321, out=buf2)
+    assert n == 4321
+    np.testing.assert_array_equal(np.frombuffer(buf2, np.uint8, count=n),
+                                  data[17: 17 + 4321])
+
+    with pytest.raises(ValueError, match="too small"):
+        F.decompress(comp, out=bytearray(len(data) - 1))
+    with pytest.raises(ValueError, match="read-only"):
+        F.decompress(comp, out=bytes(len(data)))
+
+    # empty frame, empty buffer
+    assert F.decompress(F.compress(b""), out=bytearray()) == 0
