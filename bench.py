@@ -194,12 +194,15 @@ def main():
     S = k // 128
     Rr = block_size // k - 1
     We = PL.encode_w_bound(Rr, L)
+    # small-alphabet fast path when every block's symbols are < 128 —
+    # the same detection frame.compress applies via encode_lanes_norm
+    small = bool((norm_tables[:, 128:] == 0).all())
     symt, stt = [], []
     for j in range(B):
         norm = NormHistogram(norm_tables[j], L, F._tl(norm_tables[j]))
         et = EncodeTable(norm)
         sr, tr = pack_enc_table_rows(et.table, et.tt_bits,
-                                     et.tt_find_state, L)
+                                     et.tt_find_state, L, small)
         symt.append(sr)
         stt.append(tr)
     blocks_h = data.reshape(B, block_size)

@@ -107,7 +107,7 @@ def _table_rows(values: np.ndarray) -> np.ndarray:
     return v.reshape(-1, 128).astype(np.uint32).view(np.int32)
 
 
-def pack_enc_table_rows(table, tt_bits, tt_fs, L: int):
+def pack_enc_table_rows(table, tt_bits, tt_fs, L: int, small: bool = False):
     """Host-side encode-table packing into in-kernel gather rows:
     ``(symbol-transform rows, pair-packed next-state rows)``. The single
     normative packing (the device analog is ``_pack_symt_dev``; the
@@ -117,10 +117,20 @@ def pack_enc_table_rows(table, tt_bits, tt_fs, L: int):
     * L <= 12: mb(4b) | min_state_plus(14b) | fs+4096(13b);
     * L >= 13: two planes, A = mb(5b)|fs+2^17(18b), B = msp(17b).
 
+    ``small`` (small-alphabet fast path): when every coded symbol is
+    < 128 (table_len <= 128 — all ASCII text, and the bench
+    distribution), each transform plane packs into ONE 128-entry gather
+    row instead of two, cutting the per-round gather count (the encode
+    kernel is gather-issue-bound; PERF.md). The caller asserts the
+    alphabet bound; symbols >= 128 have count 0 and never appear in a
+    valid stream.
+
     The asserts are static guarantees of the table-log; they catch a
     mispacked table before it silently corrupts an encode."""
     tb = np.asarray(tt_bits, np.uint32).astype(np.int64)
     fs = np.asarray(tt_fs, np.int64)
+    if small:
+        tb, fs = tb[:128], fs[:128]
     mb = (tb + 0xFFFF) >> 16           # max_bits_out (ceil of tb/2^16)
     msp = (mb << 16) - tb              # min_state_plus
     if L <= 10:
@@ -495,14 +505,18 @@ def _fuse_tbl_dev(rows, S_each, F):
     return jnp.repeat(t, S_each, axis=2)
 
 
-def _pack_symt_dev(tt_bits, tt_fs, L):
+def _pack_symt_dev(tt_bits, tt_fs, L, small=False):
     """(B, 256) uint32 tt_bits + (B, 256) int32 tt_fs -> packed symbol
     transform gather rows (B, 2 or 4, 128) int32 (same layouts as the
-    host packing in encode_lanes; ranges are static guarantees of L)."""
+    host packing in encode_lanes; ranges are static guarantees of L).
+    ``small`` halves the rows for <=128-symbol alphabets (see
+    pack_enc_table_rows)."""
     # tt_bits < 2^21 for every L <= 15 and all packings fit int32, so
     # 32-bit math is exact (and independent of jax_enable_x64)
     tb = tt_bits.astype(jnp.int32)
     fs = tt_fs.astype(jnp.int32)
+    if small:
+        tb, fs = tb[:, :128], fs[:, :128]
     if L <= 10:
         # tb < (L+2)<<16 <= 2^20 and |fs| < 2^L: tb(20b) | fs+2^L(L+1 b)
         # fits 31 bits — stores tt_bits directly (2-op in-kernel unpack)
@@ -516,18 +530,22 @@ def _pack_symt_dev(tt_bits, tt_fs, L):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "L", "R", "W", "F",
-                                             "interpret"))
-def _encode_e2e(blocks, norm_tables, *, k, L, R, W, F, interpret):
+                                             "interpret", "small"))
+def _encode_e2e(blocks, norm_tables, *, k, L, R, W, F, interpret,
+                small=False):
     """Raw blocks + normalized histograms -> encoded lane words, fully on
     device: batched table build (ops.tables), transform packing, symbol
-    reversal, superblock fusion, and the Pallas kernel in one jit."""
+    reversal, superblock fusion, and the Pallas kernel in one jit.
+    ``small``: every block's alphabet fits 128 symbols — the transform
+    gather rows halve (pack_enc_table_rows)."""
     B = blocks.shape[0]
     S_each = k // 128
     Bf, S = B // F, F * k // 128
     tbl, tt_bits, tt_fs = jax.vmap(
         functools.partial(build_encode_table, log2=L))(
             norm_tables.astype(jnp.int32))
-    symtf = _fuse_tbl_dev(_pack_symt_dev(tt_bits, tt_fs, L), S_each, F)
+    symtf = _fuse_tbl_dev(_pack_symt_dev(tt_bits, tt_fs, L, small),
+                          S_each, F)
     # next-state entries are u16: pack PAIRS into one i32 so the
     # dominant in-kernel gather touches half the rows (entry i lives in
     # packed[i >> 1], half selected by i & 1)
@@ -589,6 +607,12 @@ def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
         raise ValueError("k must be a multiple of 128 and divide n")
     R = n // k - 1
     interpret = interpret or jax.default_backend() != "tpu"
+    # small-alphabet fast path: all blocks' symbols < 128 (count 0 above
+    # ==> the symbol never appears; nonzero<->nonzero is a normalization
+    # invariant) — the transform gather rows halve. Host-side check
+    # (norm tables are host numpy on the frame path; tiny sync otherwise).
+    small = bool(np.asarray(
+        jnp.count_nonzero(jnp.asarray(norm_tables)[:, 128:]) == 0))
     Bp = _bucket_b(B)
     F = _fuse_factor(Bp, k, mesh)
     quantum = F * (mesh.size if mesh is not None else 1)
@@ -598,7 +622,7 @@ def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
         norm_tables = jnp.concatenate(
             [norm_tables, jnp.repeat(norm_tables[:1], pad, 0)])
     call = functools.partial(_encode_e2e, k=k, L=L, R=R, W=W, F=F,
-                             interpret=interpret)
+                             interpret=interpret, small=small)
     if mesh is not None:
         from jax.sharding import PartitionSpec
 
@@ -772,9 +796,11 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
 def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
                    words_ref, sizes_ref,
                    state_s, cur_s, wb_s, blo_s, bhi_s, base_s, ch_s,
-                   *, S, W, L, R, G, hi_n, E, p_refill):
+                   *, S, W, L, R, G, hi_n, E, p_refill, ns):
     r = pl.program_id(1)
-    symt = symt_ref[0]  # (2,St,128) packed symbol transforms (see below)
+    symt = symt_ref[0]  # (ns or 2*ns, St, 128) packed symbol transforms;
+                        # ns = rows per plane (1 on the small-alphabet
+                        # fast path, else 2 — see pack_enc_table_rows)
     stt = stt_ref[0]    # (hi_n,St,128) next-state table
 
     def _next_state(idx):
@@ -794,16 +820,16 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         # planes, two gathers: plane A = mb(5b) | fs+2^17(18b),
         # plane B = msp(17b).
         if L <= 10:
-            v = _gather_rows(symt[:2], sym, 2, S)
+            v = _gather_rows(symt[:ns], sym, ns, S)
             return _shr_u(v, L + 1), (v & ((2 << L) - 1)) - (1 << L)
         if L <= 12:
-            v = _gather_rows(symt[:2], sym, 2, S)
+            v = _gather_rows(symt[:ns], sym, ns, S)
             mb = _shr_u(v, 27)
             msp = _shr_u(v, 13) & 0x3FFF
             fs = (v & 0x1FFF) - 4096
         else:
-            va = _gather_rows(symt[:2], sym, 2, S)
-            msp = _gather_rows(symt[2:], sym, 2, S)
+            va = _gather_rows(symt[:ns], sym, ns, S)
+            msp = _gather_rows(symt[ns:], sym, ns, S)
             mb = _shr_u(va, 18)
             fs = (va & 0x3FFFF) - (1 << 17)
         return lax.shift_left(mb, 16) - msp, fs
@@ -984,8 +1010,11 @@ def _encode_call(syms, init_syms, symt, stt, *, S, W, L, R,
         # the kernel is unchanged)
         syms = jnp.concatenate(
             [jnp.zeros((B, pad_r, S, 128), jnp.uint8), syms], axis=1)
+    # transform rows per plane: the array shape carries the small-alphabet
+    # choice (rows = ns for L <= 12, 2*ns two-plane above)
+    ns = symt.shape[1] if L <= 12 else symt.shape[1] // 2
     kern = functools.partial(_encode_kernel, S=S, W=W, L=L, R=R, G=G,
-                             hi_n=hi_n, E=E, p_refill=p_refill)
+                             hi_n=hi_n, E=E, p_refill=p_refill, ns=ns)
     scr = pltpu.VMEM((S, 128), jnp.int32)
     words, sizes = pl.pallas_call(
         kern,
@@ -1023,7 +1052,7 @@ def _encode_call(syms, init_syms, symt, stt, *, S, W, L, R,
 
 
 def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
-                 mesh=None, e_rounds=None):
+                 mesh=None, e_rounds=None, small_alpha=False):
     """Encode B blocks of k per-lane streams.
 
     syms: (B, R, k) uint8 — round-major lane symbols (round r, lane i = byte
@@ -1038,6 +1067,10 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
       and encode data-parallel (B must be a multiple of mesh.size).
     e_rounds: override rounds-per-epoch E (tuning/testing knob; wire
       bytes are E-independent).
+    small_alpha: caller guarantees every coded symbol is < 128 in every
+      block — halves the transform gather rows (pack_enc_table_rows).
+      (encode_lanes_norm detects this automatically from the norm
+      tables; here the tables don't carry counts, so it is opt-in.)
     Returns (words (B, W_act, k) uint32, sizes (B, k) int32 bit counts)."""
     B, R, kk = syms.shape
     assert kk == k and k % 128 == 0
@@ -1046,7 +1079,7 @@ def encode_lanes(syms, init_syms, enc_tables, *, k, L, W, interpret=False,
     F = _fuse_factor(B, k, mesh)
     symt, stt = [], []
     for (t, tb, fs) in enc_tables:
-        sr, tr = pack_enc_table_rows(t, tb, fs, L)
+        sr, tr = pack_enc_table_rows(t, tb, fs, L, small_alpha)
         symt.append(sr)
         stt.append(tr)
     syms = np.asarray(syms, np.uint8)

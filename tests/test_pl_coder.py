@@ -179,6 +179,61 @@ def test_norm_entry_points_match_host_tables():
         assert got.tobytes() == data.tobytes()
 
 
+def test_small_alphabet_fast_path_bit_exact():
+    """Small-alphabet encode fast path (every symbol < 128: the transform
+    table packs into ONE gather row per plane instead of two) must be
+    bit-identical to the full packing and to the spec oracle, through
+    both the host-table entry (explicit small_alpha=True) and the norm
+    entry (auto-detected from the norm tables)."""
+    B, k, Q = 2, 256, 9
+    datas, hists = _mk(33, B, k, Q, narrow)
+    L, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
+    R = Q - 1
+    syms_in = np.stack([d[: R * k].reshape(R, k) for d in datas])
+    init_syms = np.stack([d[R * k:] for d in datas])
+    We = PL.encode_w_bound(R, L)
+    kw, ks = PL.encode_lanes(syms_in, init_syms, encs, k=k, L=L, W=We,
+                             interpret=True, small_alpha=True)
+    assert (np.asarray(ks) == sizes).all()
+    for b in range(B):
+        pad = np.zeros((We - words.shape[1], k), np.uint32)
+        expect = PL.lane_merge(np.concatenate([words[b], pad]), sizes[b])
+        assert PL.lane_merge(np.asarray(kw)[b], ks[b]) == expect
+    # norm entry point: detection is automatic (all counts >= 128 are 0)
+    blocks = np.stack(datas)
+    norm_tables = np.stack([np.asarray(h.table, np.int32) for h in hists])
+    assert (norm_tables[:, 128:] == 0).all()
+    w1, s1 = PL.encode_lanes_norm(blocks, norm_tables, k=k, L=L, W=We,
+                                  interpret=True)
+    assert (s1 == sizes).all()
+    for b in range(B):
+        assert PL.lane_merge(w1[b], s1[b]) == PL.lane_merge(
+            np.concatenate([words[b],
+                            np.zeros((We - words.shape[1], k), np.uint32)]),
+            sizes[b])
+
+
+@pytest.mark.parametrize("L", [11, 13])
+def test_small_alphabet_fast_path_high_logs(L):
+    """Small-alphabet packing at the mid (packed-word) and two-plane
+    transform layouts (L >= 11) stays bit-exact vs the spec oracle."""
+    k, Q = 128, 6
+    rng = np.random.default_rng(100 + L)
+    data = (rng.integers(0, 10, k * Q, dtype=np.uint16) ** 2 % 97).astype(
+        np.uint8)  # alphabet well under 128
+    hist = Histogram(data).normalize(L)
+    assert hist.log2 == L
+    _, encs, packs, words, sizes = _oracle_blocks([data], [hist], k)
+    R = Q - 1
+    We = PL.encode_w_bound(R, L)
+    kw, ks = PL.encode_lanes(data[: R * k].reshape(1, R, k),
+                             data[R * k:].reshape(1, k), encs, k=k, L=L,
+                             W=We, interpret=True, small_alpha=True)
+    assert (np.asarray(ks) == sizes).all()
+    assert PL.lane_merge(np.asarray(kw)[0], sizes[0]) == \
+        PL.lane_merge(words[0], sizes[0])
+
+
 def test_frame_pl_high_log_roundtrip():
     from entropy_coders_tpu import frame as F
     rng = np.random.default_rng(13)
