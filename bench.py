@@ -3,9 +3,9 @@
 Workload: synthetic geometric-ish bytes (the reference's own benchmark
 distribution, prob=0.2 — reference: benches/fse_benchmark.rs:30-35),
 16 MiB blocks, k=16384 per-lane tANS streams per block, per-block
-tables at table_log 9 (the throughput-max point: +0.24% compressed size
-vs the ratio-balanced default 10 for ~1.6x the decode rate — PERF.md),
-one chip (MODE_FSE_PL, ops/pl_coder.py kernels).
+tables at table_log 8 (the throughput-max point: ~+0.9% relative
+compressed size vs the ratio-balanced default 10 for ~2.2x the decode
+rate — PERF.md sweep), one chip (MODE_FSE_PL, ops/pl_coder.py kernels).
 
 Headline metric: steady-state decode throughput with compressed input and
 decoded output resident in device HBM — the device analog of the
@@ -103,12 +103,13 @@ def main():
                            # 32k regresses — S=256 gather tiles)
     if not on_tpu:  # CI/smoke fallback: tiny workload, interpreter kernels
         size, block_size, k = 1 << 16, 1 << 14, 256
-    # The bench ships the THROUGHPUT-MAX operating point: table_log=9
-    # decodes 52.0 GB/s vs 32.0 at the library's ratio-balanced default
-    # of 10, for +0.24% relative compressed size on this distribution
-    # (PERF.md sweep; measured r3: ratio 0.4563 vs 0.4552). The env knob
-    # re-points the whole bench at another operating point.
-    table_log = int(os.environ.get("ECT_BENCH_TABLE_LOG", "9")) or None
+    # The bench ships the THROUGHPUT-MAX operating point: table_log=8
+    # measures 71.4 GB/s decode / 57.4 GB/s encode vs 52/43 at L=9 and
+    # 32/30 at the library's ratio-balanced default of 10, for ~+0.9%
+    # relative compressed size vs L=10 on this distribution (PERF.md
+    # sweep, round 4; full-frame ratio 0.459 vs 0.4563 at 9 / 0.4552 at
+    # 10). The env knob re-points the whole bench at another point.
+    table_log = int(os.environ.get("ECT_BENCH_TABLE_LOG", "8")) or None
     if not on_tpu:
         table_log = None  # interpreter smoke path keeps the defaults
 

@@ -55,6 +55,44 @@ struct BitWriter {
   }
 };
 
+// Fast LIFO bit writer for the payload hot loop: same byte semantics as
+// BitWriter (LSB-first appends, little-endian byte order) but writes
+// through a raw pointer with 32-bit bulk flushes instead of per-byte
+// push_back. The caller pre-sizes the destination to the worst-case
+// payload bound and truncates after finish(). Little-endian host
+// assumed (as is the repo-wide uint32 word layout of the lane repack).
+struct FastBitWriter {
+  uint8_t* dst;
+  size_t bytes = 0;
+  uint64_t acc = 0;
+  int bits = 0;
+  size_t total_bits = 0;
+
+  explicit FastBitWriter(uint8_t* d) : dst(d) {}
+
+  inline void write(uint32_t val, int nbits) {  // nbits <= 16
+    acc |= (uint64_t)(val & ((1u << nbits) - 1)) << bits;
+    bits += nbits;
+    total_bits += nbits;
+    if (bits >= 32) {
+      uint32_t lo = (uint32_t)acc;
+      std::memcpy(dst + bytes, &lo, 4);
+      bytes += 4;
+      acc >>= 32;
+      bits -= 32;
+    }
+  }
+  // flush the partial tail; returns total bits written
+  size_t finish() {
+    while (bits > 0) {
+      dst[bytes++] = (uint8_t)(acc & 0xFF);
+      acc >>= 8;
+      bits -= 8;
+    }
+    return total_bits;
+  }
+};
+
 // Backward (stack) reader over a byte buffer with a terminal marker bit
 // (semantics of reference src/bitstream/stack_reader.rs).
 struct BitStackReader {
@@ -91,6 +129,48 @@ struct BitStackReader {
     if (nbits > pos) return false;
     pos -= nbits;
     *out = extract(pos, nbits);
+    return true;
+  }
+};
+
+// Buffered backward reader for the decode hot loop: identical pop
+// semantics to BitStackReader (which still does init/framing), but
+// steady-state reads hit a cached 64-bit window refilled with ONE
+// unaligned load every ~3-4 reads instead of a bounds-checked memcpy
+// per read. Reads are <= 16 bits and strictly descending, so once the
+// window covers a read's top bit it covers every later read until the
+// low-end check trips.
+struct FastStackReader {
+  const uint8_t* data;
+  size_t len;
+  int64_t pos;                  // readable bits remaining (as BitStackReader)
+  uint64_t acc = 0;             // bits [win_lo, win_lo + 64)
+  int64_t win_lo = INT64_MAX;   // forces a refill on the first read
+
+  explicit FastStackReader(const BitStackReader& r)
+      : data(r.data), len(r.len), pos(r.pos) {}
+
+  inline void refill_for(int nbits) {
+    // window base as low as possible while covering bit pos+nbits-1:
+    // top = w*8 + 64 >= pos + nbits
+    int64_t w = (pos + nbits - 64 + 7) >> 3;
+    if (w < 0) w = 0;
+    if ((size_t)w + 8 <= len) {
+      std::memcpy(&acc, data + w, 8);
+    } else {  // top of the buffer: masked partial load
+      acc = 0;
+      std::memcpy(&acc, data + w, len - (size_t)w);
+    }
+    win_lo = w * 8;
+  }
+
+  inline bool read(int nbits, uint32_t* out) {  // nbits <= 16
+    if (nbits > pos) return false;
+    pos -= nbits;
+    if (pos < win_lo) refill_for(nbits);
+    // shift == 64 only when nbits == 0 (mask 0): & 63 keeps the shift
+    // defined and the masked result is 0 either way
+    *out = (uint32_t)((acc >> ((pos - win_lo) & 63)) & ((1u << nbits) - 1));
     return true;
   }
 };
@@ -478,7 +558,8 @@ struct Encoder {
     int32_t idx = (int32_t)(value >> bits_out) + t.tt_fs[sym];
     value = t.table[idx];
   }
-  inline void encode(const EncTable& t, BitWriter& w, uint8_t sym) {
+  template <class Writer>
+  inline void encode(const EncTable& t, Writer& w, uint8_t sym) {
     uint32_t b = t.tt_bits[sym];
     uint32_t bits_out = (b + value) >> 16;
     w.write(value, (int)bits_out);
@@ -513,22 +594,32 @@ int ect_compress(const uint8_t* src, size_t n, int k, int log2, uint8_t* dst,
     if (h.table[i] == (int32_t)1 << h.log2) return 2;
 
   std::vector<uint8_t> out;
-  out.reserve(n + 512);
   write_header(h, out);
 
   EncTable et;
   build_encode(h, &et);
-  BitWriter w(out);
+  // worst-case payload bound: every symbol emits <= table_log bits, the
+  // k finals add table_log each, + marker bit + FastBitWriter's 4-byte
+  // flush slack (each encode() is at most one symbol = one flush)
+  size_t hdr = out.size();
+  size_t bound = ((uint64_t)n * h.log2 + 1 + 7) / 8 + 8;
+  out.resize(hdr + bound);
+  FastBitWriter w(out.data() + hdr);
 
   std::vector<Encoder> encs(k);
   for (int j = 0; j < k; j++)
     encs[(n - k + j) % k].init_first(et, src[n - k + j]);
-  for (int64_t i = (int64_t)n - k - 1; i >= 0; i--)
-    encs[i % k].encode(et, w, src[i]);
+  if (n > (size_t)k) {
+    int s = (int)((n - k - 1) % (size_t)k);  // lane of the next symbol
+    for (int64_t i = (int64_t)n - k - 1; i >= 0; i--) {
+      encs[s].encode(et, w, src[i]);
+      s = (s == 0) ? k - 1 : s - 1;
+    }
+  }
   for (int s = k - 1; s >= 0; s--)
     w.write(encs[s].value, et.table_log);
   w.write(1, 1);
-  w.finish();
+  out.resize(hdr + (w.finish() + 7) / 8);
 
   if (out.size() > dst_cap) return 3;
   std::memcpy(dst, out.data(), out.size());
@@ -552,8 +643,9 @@ int ect_decompress(const uint8_t* src, size_t n, int k, uint8_t* dst,
   DecTable dt;
   build_decode(h, &dt);
 
-  BitStackReader r;
-  if (!r.init(src + hdr, n - hdr)) return 1;
+  BitStackReader r0;
+  if (!r0.init(src + hdr, n - hdr)) return 1;
+  FastStackReader r(r0);  // buffered steady-state reads, same semantics
 
   std::vector<uint16_t> states(k);
   for (int s = 0; s < k; s++) {
@@ -563,8 +655,8 @@ int ect_decompress(const uint8_t* src, size_t n, int k, uint8_t* dst,
   }
 
   size_t pos = 0;
+  int s = 0;  // == pos % k, maintained incrementally (no per-symbol div)
   for (;;) {
-    int s = (int)(pos % k);
     const DecEntry& e = dt.table[states[s]];
     uint32_t low;
     if (!r.read(e.num_bits, &low)) {
@@ -579,6 +671,7 @@ int ect_decompress(const uint8_t* src, size_t n, int k, uint8_t* dst,
     dst[pos] = e.symbol;
     states[s] = (uint16_t)(e.new_state + low);
     pos++;
+    if (++s == k) s = 0;
   }
   *out_len = pos;
   return 0;
