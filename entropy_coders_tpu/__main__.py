@@ -19,6 +19,15 @@ import sys
 import time
 
 
+def _parse_table_log(v: str):
+    """'auto' | 'fast' | 'fast:EPS' | int — the frame.compress forms."""
+    if v in ("auto", "fast"):
+        return v
+    if v.startswith("fast:"):
+        return ("fast", float(v[5:]))
+    return int(v)
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="entropy_coders_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -28,11 +37,11 @@ def main(argv=None) -> int:
     c.add_argument("outfile")
     c.add_argument("--block-size", type=int, default=None)
     c.add_argument("--k", type=int, default=None)
-    c.add_argument("--table-log", default=None,
-               type=lambda v: v if v in ("auto", "fast") else int(v),
-               help="5..15, 'auto' (per-block ratio-optimal), or "
-                    "'fast' (smallest log within 0.5%% of auto's "
-                    "estimated size — ~2x decode speed per -1)")
+    c.add_argument("--table-log", default=None, type=_parse_table_log,
+               help="5..15, 'auto' (per-block ratio-optimal), 'fast' "
+                    "(smallest log within 0.5%% of auto's estimated "
+                    "size — ~2x decode speed per -1), or 'fast:EPS' "
+                    "for an explicit size budget (e.g. fast:0.015)")
     c.add_argument("--shared-table", action="store_true")
     c.add_argument("--no-lanes", action="store_true")
     c.add_argument("--checksum", action="store_true")

@@ -159,7 +159,7 @@ def compress(
     k: int = DEFAULT_K,
     shared_table: bool = False,
     shared_hist=None,
-    table_log: int | str | None = None,
+    table_log: int | str | tuple | None = None,
     sharding=None,
     lanes: bool | None = None,
     interpret: bool = False,
@@ -177,7 +177,9 @@ def compress(
     batched kernels. ``"fast"`` biases per-block logs toward decode
     throughput: the smallest log whose estimated coded size stays
     within 0.5% of the auto choice's (decode speed ~doubles per -1 log
-    — normalize.fast_log2s, PERF.md). ``interpret`` runs the Pallas kernels in
+    — normalize.fast_log2s, PERF.md); ``("fast", eps)`` sets that size
+    budget explicitly (e.g. 0.015 admits the L=8 throughput-max point
+    on the bench distribution). ``interpret`` runs the Pallas kernels in
     interpreter mode (for CPU testing). ``checksum`` appends a per-block
     crc32 table, verified on decompress (the reference format has no
     integrity checking — corruption decodes to garbage silently).

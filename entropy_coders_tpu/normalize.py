@@ -70,13 +70,21 @@ def normalize_batch(counts: np.ndarray, size: int, log2):
 
     Returns ``(tables (B,256) int32, log2s (B,) int64)``. ``log2`` is the
     requested table log (scalar, per-row array, ``"auto"`` for the
-    reference's per-block ``optimal_log2`` policy, or ``"fast"`` for the
-    throughput-biased policy below); per-row it may be raised by the
+    reference's per-block ``optimal_log2`` policy, ``"fast"`` for the
+    throughput-biased policy below, or ``("fast", eps)`` to widen/narrow
+    that policy's size budget — e.g. ``("fast", 0.015)`` admits the L=8
+    throughput-max point on the bench distribution where the default
+    0.5% budget stops at L=9); per-row it may be raised by the
     reference's table_len clamp (rare: only for blocks with few distinct
     symbols)."""
     counts = np.asarray(counts, dtype=np.uint64)
     if isinstance(log2, str) and log2 == "fast":
         return normalize_batch(counts, size, fast_log2s(counts, size))
+    if isinstance(log2, tuple):
+        if len(log2) != 2 or log2[0] != "fast":
+            raise ValueError(f"bad table_log {log2!r}")
+        return normalize_batch(
+            counts, size, fast_log2s(counts, size, eps=float(log2[1])))
     log2s = effective_log2(counts, size, log2)
     return _tables_at(counts, size, log2s), log2s
 

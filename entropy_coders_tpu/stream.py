@@ -59,7 +59,7 @@ def _mkstemp_for(dst_path):
 def compress_file(src_path, dst_path, *, block_size: int = F.DEFAULT_BLOCK_SIZE,
                   k: int = F.DEFAULT_K, chunk_blocks: int = 64,
                   checksum: bool = False, bit_pack: bool = False,
-                  table_log: int | str | None = None,
+                  table_log: int | str | tuple | None = None,
                   lanes: bool | None = None,
                   interpret: bool = False) -> int:
     """Stream-compress ``src_path`` into ``dst_path``; returns the

@@ -221,6 +221,30 @@ def test_fast_table_log_policy(rng):
         assert len(f) <= len(a) * 1.01  # eps=0.5% on estimates + slack
 
 
+def test_fast_table_log_budget_knob(rng):
+    """("fast", eps): an explicit size budget widens/narrows the fast
+    policy. A wide budget must pick logs <= the default 0.5% budget's
+    (reaching the L=8 throughput-max point on the bench distribution),
+    eps=0 must collapse to the auto choice, and frames round-trip."""
+    from entropy_coders_tpu.normalize import fast_log2s, optimal_log2s
+
+    data = gen_sequence(0.2, 1 << 16)
+    counts = np.stack([np.bincount(b, minlength=256)
+                       for b in data.reshape(4, 1 << 14)]).astype(np.uint64)
+    wide = fast_log2s(counts, 1 << 14, eps=0.02)
+    dflt = fast_log2s(counts, 1 << 14)
+    auto = optimal_log2s(counts, 1 << 14)
+    assert (wide <= dflt).all() and (wide < dflt).any()
+    assert (fast_log2s(counts, 1 << 14, eps=0.0) == auto).all()
+
+    f = F.compress(data, block_size=1 << 14, k=16, lanes=True,
+                   table_log=("fast", 0.02), interpret=True)
+    assert F.decompress(f, interpret=True) == data.tobytes()
+    with pytest.raises(ValueError):
+        F.compress(data, block_size=1 << 14, k=16,
+                   table_log=("slow", 0.02), interpret=True)
+
+
 def test_tiny_input_shared_table_policy_degrades():
     """< 9 bytes cannot be normalized (optimal_log2 precondition); the
     shared-table + policy-log combination must degrade to RAW/RLE like
