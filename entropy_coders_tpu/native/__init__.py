@@ -91,6 +91,15 @@ def _load():
             ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_void_p, ctypes.c_int32,
         ]
+        lib.ect_build_encode_tables.restype = ctypes.c_int
+        lib.ect_build_encode_tables.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.ect_build_decode_tables.restype = ctypes.c_int
+        lib.ect_build_decode_tables.argtypes = [
+            ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32, ctypes.c_void_p,
+        ]
         _lib = lib
     except Exception as e:  # toolchain missing etc. — soft-fail
         _load_error = str(e)
@@ -177,6 +186,51 @@ def normalize(counts, size: int, log2: int = -1) -> tuple[np.ndarray, int]:
     if l2 < 0:
         raise ValueError("normalization failed (degenerate input)")
     return table, int(l2)
+
+
+def build_encode_tables(norm_tables: np.ndarray, log2: int):
+    """Batched encode-table build from (B, 256) normalized histograms
+    sharing ``log2``: returns ``(table (B, 2^log2) u16, tt_bits (B, 256)
+    u32, tt_fs (B, 256) i32)`` — bit-identical to spec.fse.EncodeTable /
+    ops.tables.build_encode_table, at host-C++ speed (the frame path
+    builds tables here and ships the tiny packed rows to the device
+    instead of paying the on-device build chain per call — PERF.md)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    nt = np.ascontiguousarray(norm_tables, np.int32)
+    B = nt.shape[0]
+    assert nt.shape == (B, 256)
+    table = np.zeros((B, 1 << log2), np.uint16)
+    tt_bits = np.zeros((B, 256), np.uint32)
+    tt_fs = np.zeros((B, 256), np.int32)
+    rc = lib.ect_build_encode_tables(
+        nt.ctypes.data_as(ctypes.c_void_p), B, log2,
+        table.ctypes.data_as(ctypes.c_void_p),
+        tt_bits.ctypes.data_as(ctypes.c_void_p),
+        tt_fs.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(f"encode table build failed (rc={rc})")
+    return table, tt_bits, tt_fs
+
+
+def build_decode_tables(norm_tables: np.ndarray, log2: int) -> np.ndarray:
+    """Batched decode-table build: (B, 256) normalized histograms ->
+    (B, 2^log2) u32 packed entries (sym<<24 | nb<<16 | base), identical
+    to spec.fse.DecodeTable.packed / ops.tables.build_decode_table."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError(f"native codec unavailable: {_load_error}")
+    nt = np.ascontiguousarray(norm_tables, np.int32)
+    B = nt.shape[0]
+    assert nt.shape == (B, 256)
+    packed = np.zeros((B, 1 << log2), np.uint32)
+    rc = lib.ect_build_decode_tables(
+        nt.ctypes.data_as(ctypes.c_void_p), B, log2,
+        packed.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise ValueError(f"decode table build failed (rc={rc})")
+    return packed
 
 
 def lane_merge_batch(words: np.ndarray, sizes_bits: np.ndarray,

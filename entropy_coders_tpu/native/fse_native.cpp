@@ -677,6 +677,60 @@ int ect_decompress(const uint8_t* src, size_t n, int k, uint8_t* dst,
   return 0;
 }
 
+// Batched tANS table builds from normalized histograms (the host-side
+// fast path of the frame codec: ~us per 2^log2-entry table vs the ~ms
+// the batched on-device XLA build chain costs per call — PERF.md).
+// Semantics identical to spec.fse / ops.tables (tests pin equality).
+// Returns 0 on success, nonzero if any histogram is malformed.
+
+int ect_build_encode_tables(const int32_t* tables /*B x 256*/, int32_t B,
+                            int32_t log2, uint16_t* table_out /*B x 2^log2*/,
+                            uint32_t* tt_bits_out /*B x 256*/,
+                            int32_t* tt_fs_out /*B x 256*/) {
+  if (log2 < TABLE_LOG_MIN || log2 > TABLE_LOG_MAX || B < 0) return 1;
+  size_t size = (size_t)1 << log2;
+  for (int32_t b = 0; b < B; b++) {
+    NormHist h;
+    std::memcpy(h.table, tables + (size_t)b * 256, sizeof(h.table));
+    h.log2 = log2;
+    h.table_len = 1;
+    for (int i = 255; i >= 0; i--)
+      if (h.table[i] != 0) { h.table_len = i + 1; break; }
+    EncTable et;
+    build_encode(h, &et);
+    std::memcpy(table_out + (size_t)b * size, et.table.data(),
+                size * sizeof(uint16_t));
+    std::memcpy(tt_bits_out + (size_t)b * 256, et.tt_bits,
+                sizeof(et.tt_bits));
+    std::memcpy(tt_fs_out + (size_t)b * 256, et.tt_fs, sizeof(et.tt_fs));
+  }
+  return 0;
+}
+
+int ect_build_decode_tables(const int32_t* tables /*B x 256*/, int32_t B,
+                            int32_t log2,
+                            uint32_t* packed_out /*B x 2^log2*/) {
+  if (log2 < TABLE_LOG_MIN || log2 > TABLE_LOG_MAX || B < 0) return 1;
+  size_t size = (size_t)1 << log2;
+  for (int32_t b = 0; b < B; b++) {
+    NormHist h;
+    std::memcpy(h.table, tables + (size_t)b * 256, sizeof(h.table));
+    h.log2 = log2;
+    h.table_len = 1;
+    for (int i = 255; i >= 0; i--)
+      if (h.table[i] != 0) { h.table_len = i + 1; break; }
+    DecTable dt;
+    build_decode(h, &dt);
+    uint32_t* out = packed_out + (size_t)b * size;
+    for (size_t i = 0; i < size; i++) {
+      const DecEntry& e = dt.table[i];
+      out[i] = ((uint32_t)e.symbol << 24) | ((uint32_t)e.num_bits << 16)
+               | e.new_state;
+    }
+  }
+  return 0;
+}
+
 // Parse a histogram header. Returns header byte length, 0 on error.
 size_t ect_read_header(const uint8_t* src, size_t n, int32_t* table_out,
                        int32_t* log2_out, int32_t* table_len_out) {

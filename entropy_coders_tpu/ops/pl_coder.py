@@ -481,9 +481,60 @@ def _expand_tbl(rows_list, S_each, F):
 
 
 # ---------------------------------------------------------------------------
-# Device-native batched entry points (tables built on device from the
-# normalized histograms; all layout work traced into one jit)
+# Batched entry points (tables from the normalized histograms).
+#
+# Two table-build routes with identical bytes out:
+#   * host (default when the C++ native module is available): the
+#     batched native build runs in ~us per table and the packed gather
+#     rows (a few KB) ride the h2d — the on-device XLA build chain costs
+#     ~1-2 ms of device time PER CALL at 16 MiB blocks (argsort /
+#     searchsorted / scatter lowerings on tiny shapes — PERF.md
+#     "device-path overheads"), which at the L=8 operating point nearly
+#     doubles the kernel time;
+#   * device (fallback, and for callers holding device-resident norm
+#     tables): everything traced into one jit (_encode_e2e/_decode_e2e).
 # ---------------------------------------------------------------------------
+
+
+def _rows_np(vals: np.ndarray) -> np.ndarray:
+    """Batched host analog of _rows_dev: (B, n) int -> (B, max(n//128,1),
+    128) int32 gather rows."""
+    B, n = vals.shape
+    if n < 128:
+        vals = np.pad(vals, ((0, 0), (0, 128 - n)))
+    return vals.astype(np.uint32).view(np.int32).reshape(B, -1, 128)
+
+
+def _pack_symt_np(tt_bits, tt_fs, L: int, small: bool) -> np.ndarray:
+    """Batched host analog of _pack_symt_dev (same normative packing as
+    pack_enc_table_rows)."""
+    tb = tt_bits.astype(np.int64)
+    fs = tt_fs.astype(np.int64)
+    if small:
+        tb, fs = tb[:, :128], fs[:, :128]
+    if L <= 10:
+        return _rows_np((tb << (L + 1)) | (fs + (1 << L)))
+    mb = (tb + 0xFFFF) >> 16
+    msp = (mb << 16) - tb
+    if L <= 12:
+        return _rows_np((mb << 27) | (msp << 13) | (fs + 4096))
+    plane_a = _rows_np((mb << 18) | (fs + (1 << 17)))
+    return np.concatenate([plane_a, _rows_np(msp)], axis=1)
+
+
+def _dec_rows_np(packed: np.ndarray, L: int) -> np.ndarray:
+    """Batched host analog of decode_table_rows: (B, 2^L) u32 packed
+    entries -> (B, rows, 128) int32 gather rows (split pair/quad layout
+    for L <= 12, flat above)."""
+    pk = packed.astype(np.int64)
+    if L > 12:
+        return _rows_np(pk)
+    nbns = (((pk >> 16) & 0xFF) << 12) | (pk & 0xFFF)
+    pairs = nbns[:, 0::2] | (nbns[:, 1::2] << 16)
+    sym = pk >> 24
+    quads = (sym[:, 0::4] | (sym[:, 1::4] << 8) | (sym[:, 2::4] << 16)
+             | (sym[:, 3::4] << 24))
+    return np.concatenate([_rows_np(pairs), _rows_np(quads)], axis=1)
 
 
 def _rows_dev(vals_i32):
@@ -568,6 +619,30 @@ def _encode_e2e(blocks, norm_tables, *, k, L, R, W, F, interpret,
     return words, sizes.reshape(Bf, F, k).reshape(B, k)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "L", "R", "W", "F",
+                                             "interpret"))
+def _encode_e2e_rows(blocks, symt_rows, stt_rows, *, k, L, R, W, F,
+                     interpret):
+    """_encode_e2e with PREBUILT table gather rows (host native build):
+    skips the on-device table-build chain — only the layout reshapes and
+    the kernel remain on device."""
+    B = blocks.shape[0]
+    S_each = k // 128
+    Bf, S = B // F, F * k // 128
+    symtf = _fuse_tbl_dev(symt_rows, S_each, F)
+    sttf = _fuse_tbl_dev(stt_rows, S_each, F)
+    syms_nat = blocks[:, : R * k].reshape(B, R, k)
+    if F == 1:
+        syms_f = syms_nat.reshape(Bf, R, S, 128)  # pure reshape, no copy
+    else:
+        syms_f = (syms_nat.reshape(Bf, F, R, k).transpose(0, 2, 1, 3)
+                  .reshape(Bf, R, S, 128))
+    initf = blocks[:, R * k :].reshape(Bf, S, 128)
+    words, sizes = _encode_call(syms_f, initf, symtf, sttf, S=S, W=W, L=L,
+                                R=R, interpret=interpret)
+    return words, sizes.reshape(Bf, F, k).reshape(B, k)
+
+
 @functools.partial(jax.jit, static_argnames=("w_act", "F", "k"))
 def _unfuse_words(words, *, w_act, F, k):
     """(Bf, W, S, 128) fused kernel words -> (Bf*F, w_act, k) per-block
@@ -590,53 +665,87 @@ def _bucket_b(b: int) -> int:
 
 
 def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
-                      interpret=False, mesh=None, lazy=False):
-    """Device-native encode_lanes: takes raw blocks (B, n) uint8 with
-    n = (R+1)*k and builds the tANS tables on device from the (B, 256)
-    int32 normalized histograms (must all share table log ``L``) instead
-    of taking host-built tables. Inputs may be host or device arrays; one
-    h2d for the data, one d2h for the results.
+                      interpret=False, mesh=None, lazy=False,
+                      host_tables=None):
+    """Batched encode from raw blocks (B, n) uint8 with n = (R+1)*k and
+    the (B, 256) int32 normalized histograms (must all share table log
+    ``L``). Inputs may be host or device arrays; one h2d for the data,
+    one d2h for the results.
     Returns (words (B, w_act, k) uint32, sizes (B, k) int32).
+
+    ``host_tables`` picks the table-build route (see the section
+    comment): None = auto (host C++ when available), True/False to
+    force. Both routes produce identical bytes (tests pin it).
 
     ``lazy=True`` returns a zero-arg collect closure instead: the kernel
     is dispatched asynchronously and the D2H sync happens only when the
     closure runs — callers pipeline chunks by dispatching several and
     collecting in order (frame._encode_group_pl)."""
+    from .. import native
+
     B, n = blocks.shape
     if n % k or k % 128:
         raise ValueError("k must be a multiple of 128 and divide n")
     R = n // k - 1
     interpret = interpret or jax.default_backend() != "tpu"
+    if host_tables is None:
+        host_tables = native.available()
+    # norm tables are host numpy on the frame path; tiny sync otherwise
+    nt = np.ascontiguousarray(np.asarray(norm_tables), np.int32)
     # small-alphabet fast path: all blocks' symbols < 128 (count 0 above
     # ==> the symbol never appears; nonzero<->nonzero is a normalization
-    # invariant) — the transform gather rows halve. Host-side check
-    # (norm tables are host numpy on the frame path; tiny sync otherwise).
-    small = bool(np.asarray(
-        jnp.count_nonzero(jnp.asarray(norm_tables)[:, 128:]) == 0))
+    # invariant) — the transform gather rows halve.
+    small = not nt[:, 128:].any()
     Bp = _bucket_b(B)
     F = _fuse_factor(Bp, k, mesh)
     quantum = F * (mesh.size if mesh is not None else 1)
     pad = _cdiv(Bp, quantum) * quantum - B
     if pad:  # pad with copies of block 0 (results discarded)
         blocks = jnp.concatenate([blocks, jnp.repeat(blocks[:1], pad, 0)])
-        norm_tables = jnp.concatenate(
-            [norm_tables, jnp.repeat(norm_tables[:1], pad, 0)])
-    call = functools.partial(_encode_e2e, k=k, L=L, R=R, W=W, F=F,
-                             interpret=interpret, small=small)
+        nt = np.concatenate([nt, np.repeat(nt[:1], pad, 0)])
+    if host_tables:
+        table, tt_bits, tt_fs = native.build_encode_tables(nt, L)
+        symt = _pack_symt_np(tt_bits, tt_fs, L, small)
+        t64 = table.astype(np.int64)
+        stt = _rows_np(t64[:, 0::2] | (t64[:, 1::2] << 16))
+        if F == 1 and R % _pick_e(L) == 0:
+            # packed fast path: the kernel reads the raw (B, R+1, S, 128)
+            # reshape of the blocks directly — no in-jit slice copy
+            # (works for host AND device-resident blocks; the reshape is
+            # free either way)
+            S = k // 128
+            call = functools.partial(_encode_call_packed, S=S, W=W, L=L,
+                                     R=R, interpret=interpret)
+            args = (jnp.asarray(blocks).reshape(-1, R + 1, S, 128),
+                    jnp.asarray(symt[:, :, None, :]),
+                    jnp.asarray(stt[:, :, None, :]))
+        else:
+            call = functools.partial(_encode_e2e_rows, k=k, L=L, R=R, W=W,
+                                     F=F, interpret=interpret)
+            args = (jnp.asarray(blocks), jnp.asarray(symt),
+                    jnp.asarray(stt))
+        n_in = 3
+    else:
+        call = functools.partial(_encode_e2e, k=k, L=L, R=R, W=W, F=F,
+                                 interpret=interpret, small=small)
+        args = (jnp.asarray(blocks), jnp.asarray(nt))
+        n_in = 2
     if mesh is not None:
         from jax.sharding import PartitionSpec
 
         spec = PartitionSpec(mesh.axis_names[0])
-        call = jax.shard_map(call, mesh=mesh, in_specs=(spec,) * 2,
+        call = jax.shard_map(call, mesh=mesh, in_specs=(spec,) * n_in,
                              out_specs=(spec, spec), check_vma=False)
-    words, sizes = call(jnp.asarray(blocks), jnp.asarray(norm_tables))
+    words, sizes = call(*args)
 
     def collect():
         # pull the (small) sizes first, then transfer only the word rows
         # that are actually populated — W is the worst-case bound,
         # typically ~2x the real maximum. w_act is bucketed to multiples
         # of 16 to bound the number of _unfuse_words compilations.
-        s = np.asarray(sizes)[:B]
+        # (reshape: sizes is (Bp, k) from the e2e routes, (Bp, S, 128)
+        # from the packed kernel call)
+        s = np.asarray(sizes).reshape(-1, k)[:B]
         w_act = min(_cdiv(int(s.max()) // 32 + 2, 16) * 16, W)
         out = _unfuse_words(words, w_act=w_act, F=F, k=k)[:B]
         return np.asarray(out).view(np.uint32), s
@@ -678,37 +787,79 @@ def _decode_e2e(words, sizes, norm_tables, *, k, L, R, F, interpret):
 
 
 def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
-                      interpret=False, mesh=None, lazy=False):
-    """Device-native decode_lanes: builds the decode tables on device from
-    the (B, 256) int32 normalized histograms (all sharing table log
-    ``L``). words is (B, W, k) uint32 host or device; returns
-    (syms (B, R, k) uint8, finals (B, k) uint8) as device arrays (the
-    caller picks when to pay the d2h). Raises ValueError on a corrupt
-    stream (any lane cursor not exactly drained). ``lazy=True`` returns
-    a zero-arg collect closure (async dispatch; the sync and the error
-    check happen when it runs — see encode_lanes_norm)."""
+                      interpret=False, mesh=None, lazy=False,
+                      host_tables=None):
+    """Batched decode from lane words and the (B, 256) int32 normalized
+    histograms (all sharing table log ``L``). words is (B, W, k) uint32
+    host or device; returns (syms (B, R, k) uint8, finals (B, k) uint8)
+    (the d2h is paid inside — host numpy out). Raises ValueError on a
+    corrupt stream (any lane cursor not exactly drained).
+
+    ``host_tables`` picks the table-build route (None = auto, host C++
+    when available — see the section comment); bytes out are identical
+    either way. ``lazy=True`` returns a zero-arg collect closure (async
+    dispatch; the sync and the error check happen when it runs — see
+    encode_lanes_norm)."""
+    from .. import native
+
     B, W, kk = words.shape
     if kk != k or k % 128:
         raise ValueError("k must be a multiple of 128 and match words")
     if W % 8:  # octo-chunk layout needs 8-row-aligned word arrays
         words = np.concatenate(
             [words, np.zeros((B, 8 - W % 8, k), words.dtype)], axis=1)
+        W = words.shape[1]
     interpret = interpret or jax.default_backend() != "tpu"
     Bp = _bucket_b(B)
     F = _fuse_factor(Bp, k, mesh)
+    if host_tables is None:
+        host_tables = native.available()
+    # the host fast path pre-shapes on the host (free views) and calls
+    # the kernel directly; it needs host words and the unfused layout
+    host_tables = host_tables and isinstance(words, np.ndarray) and F == 1
+    nt = np.ascontiguousarray(np.asarray(norm_tables), np.int32)
     quantum = F * (mesh.size if mesh is not None else 1)
     pad = _cdiv(Bp, quantum) * quantum - B
+
+    if host_tables:
+        wn = words.view(np.int32)
+        sn = np.ascontiguousarray(np.asarray(sizes), np.int32)
+        if pad:  # pad with copies of block 0 (results discarded)
+            wn = np.concatenate([wn, np.repeat(wn[:1], pad, 0)])
+            sn = np.concatenate([sn, np.repeat(sn[:1], pad, 0)])
+            nt = np.concatenate([nt, np.repeat(nt[:1], pad, 0)])
+        Bp2 = wn.shape[0]
+        S = k // 128
+        rows = _dec_rows_np(native.build_decode_tables(nt, L), L)
+        call = functools.partial(_decode_call, S=S, W=W, L=L, R=R,
+                                 interpret=interpret)
+        if mesh is not None:
+            call = _shard_over_blocks(call, mesh, 3)
+        syms, finals, err = call(
+            jnp.asarray(wn.reshape(Bp2, W, S, 128)),
+            jnp.asarray(sn.reshape(Bp2, S, 128)),
+            jnp.asarray(rows[:, :, None, :]))
+
+        def collect():
+            if int(jnp.sum(err)) != 0:
+                raise ValueError("corrupt stream: lane cursor not drained")
+            # kernel-layout outputs: slice the padded epoch rounds and
+            # unfuse host-side (free views; d2h pays < 0.3% extra bytes)
+            s = np.asarray(syms).reshape(Bp2, -1, k)[:B, :R]
+            f = np.asarray(finals).reshape(Bp2, k)[:B].astype(np.uint8)
+            return s, f
+
+        return collect if lazy else collect()
+
     if isinstance(words, np.ndarray):
         words = words.view(np.int32)
     else:
         words = lax.bitcast_convert_type(words, jnp.int32)
     sizes = jnp.asarray(sizes, jnp.int32)
-    norm_tables = jnp.asarray(norm_tables)
     if pad:  # pad with copies of block 0 (results discarded)
         words = jnp.concatenate([words, jnp.repeat(words[:1], pad, 0)])
         sizes = jnp.concatenate([sizes, jnp.repeat(sizes[:1], pad, 0)])
-        norm_tables = jnp.concatenate(
-            [norm_tables, jnp.repeat(norm_tables[:1], pad, 0)])
+        nt = np.concatenate([nt, np.repeat(nt[:1], pad, 0)])
     call = functools.partial(_decode_e2e, k=k, L=L, R=R, F=F,
                              interpret=interpret)
     if mesh is not None:
@@ -717,12 +868,12 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
         spec = PartitionSpec(mesh.axis_names[0])
         call = jax.shard_map(call, mesh=mesh, in_specs=(spec,) * 3,
                              out_specs=(spec, spec, spec), check_vma=False)
-    syms, finals, err = call(jnp.asarray(words), sizes, norm_tables)
+    syms, finals, err = call(jnp.asarray(words), sizes, jnp.asarray(nt))
 
     def collect():
         if int(jnp.sum(err)) != 0:
             raise ValueError("corrupt stream: lane cursor not drained")
-        return syms[:B], finals[:B]
+        return np.asarray(syms)[:B], np.asarray(finals)[:B]
 
     return collect if lazy else collect()
 
@@ -858,8 +1009,10 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
             ch_s[j] = jnp.zeros((S, 128), jnp.int32)
         # new_first_symbol (reference: src/fse.rs:210-218); floor+1 form:
         # identical to the reference for table_log <= 14, well-defined at
-        # 15 where the reference underflows (spec.fse Encoder docstring)
-        sym = init_ref[0].astype(jnp.int32)
+        # 15 where the reference underflows (spec.fse Encoder docstring).
+        # (reshape: the init block is (1, S, 128) from _encode_call and
+        # (1, 1, S, 128) from _encode_call_packed)
+        sym = init_ref[...].reshape(S, 128).astype(jnp.int32)
         tb, fs = _sym_transform(sym)
         bits_out0 = _shr_u(tb, 16) + 1
         value0 = lax.shift_left(bits_out0, 16) - tb
@@ -1048,6 +1201,66 @@ def _encode_call(syms, init_syms, symt, stt, *, S, W, L, R,
         compiler_params=_CP,
         interpret=interpret,
     )(syms, init_syms, symt, stt)
+    return words, sizes
+
+
+@functools.partial(jax.jit, static_argnames=("S", "W", "L", "R",
+                                              "interpret"))
+def _encode_call_packed(blocks4, symt, stt, *, S, W, L, R,
+                        interpret=False):
+    """_encode_call reading the raw block bytes as ONE (B, R+1, S, 128)
+    uint8 array — a FREE reshape of the (B, n) blocks (contiguous; rows
+    0..R-1 are the round symbols, row R the per-lane init bytes). The
+    two BlockSpecs below index the same operand, so no in-jit
+    slice+reshape copy of the whole input happens (that copy costs
+    ~0.7 ms per 128 MiB in _encode_e2e — PERF.md device-path
+    overheads). Requires R % E == 0 (holds at the flagship pow2
+    block/k configs, where R = 2^m - 1 and E = 3 divides it); callers
+    fall back to the slicing path otherwise."""
+    B = blocks4.shape[0]
+    assert W % 8 == 0, "W must be a multiple of 8 (octo-chunk layout)"
+    E = _pick_e(L)
+    assert R % E == 0 and blocks4.shape[1] == R + 1
+    p_refill = _pick_p(E, L)
+    G = R // E
+    hi_n = max((1 << L) // 256, 1)
+    ns = symt.shape[1] if L <= 12 else symt.shape[1] // 2
+    kern = functools.partial(_encode_kernel, S=S, W=W, L=L, R=R, G=G,
+                             hi_n=hi_n, E=E, p_refill=p_refill, ns=ns)
+    scr = pltpu.VMEM((S, 128), jnp.int32)
+    words, sizes = pl.pallas_call(
+        kern,
+        grid=(B, G),
+        in_specs=[
+            # encode step t handles raw round R-1-t; grid step r reads the
+            # natural chunk G-1-r and the kernel walks its rows in reverse
+            pl.BlockSpec((1, E, S, 128), lambda b, r: (b, G - 1 - r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # the init bytes are row R of the SAME operand (1-row block)
+            pl.BlockSpec((1, 1, S, 128), lambda b, r: (b, R, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, symt.shape[1], symt.shape[2], 128),
+                         lambda b, r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hi_n, stt.shape[2], 128),
+                         lambda b, r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, W, S, 128), lambda b, r: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, 128), lambda b, r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, W, S, 128), jnp.int32),
+            jax.ShapeDtypeStruct((B, S, 128), jnp.int32),
+        ],
+        scratch_shapes=[scr, scr, scr, scr, scr, scr,
+                        pltpu.VMEM((8, S, 128), jnp.int32)],
+        compiler_params=_CP,
+        interpret=interpret,
+    )(blocks4, blocks4, symt, stt)
     return words, sizes
 
 

@@ -146,3 +146,40 @@ def test_committed_library_is_portable():
     bad = [ln for ln in dis.splitlines()
            if any(tok in ln for tok in ("%zmm", "vpternlog", "%tmm"))]
     assert not bad, f"arch-specific instructions in committed .so: {bad[:3]}"
+
+
+@pytest.mark.parametrize("L", [5, 8, 9, 10, 12, 13, 15])
+def test_native_table_builds_match_spec(L):
+    """ect_build_{encode,decode}_tables must be bit-identical to the spec
+    table builds (spec.fse) for every table log — the frame path ships
+    these host-built tables to the device kernels (pl_coder host_tables
+    route), so a divergence would corrupt frames silently."""
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    from entropy_coders_tpu.spec.fse import DecodeTable, EncodeTable
+    from entropy_coders_tpu.spec.histogram import Histogram
+
+    rng = np.random.default_rng(L)
+    built = 0
+    for _ in range(8):
+        # the table_len clamp raises log2 to ilog2(table_len-1)+2, so the
+        # alphabet must stay under ~2^(L-2) for normalize(L) to keep L
+        a = int(rng.integers(3, min(1 << (L - 2), 257)))
+        data = np.minimum(rng.geometric(0.25, 4096) - 1, a - 1).astype(
+            np.uint8)
+        try:
+            h = Histogram(data).normalize(L)
+        except ValueError:
+            continue
+        if h.log2 != L:
+            continue
+        nt = np.asarray(h.table, np.int32)[None]
+        et, dt = EncodeTable(h), DecodeTable(h)
+        t, tb, fs = native.build_encode_tables(nt, L)
+        assert (t[0] == np.asarray(et.table)).all()
+        assert (tb[0] == np.asarray(et.tt_bits, np.uint32)).all()
+        assert (fs[0] == np.asarray(et.tt_find_state, np.int32)).all()
+        pk = native.build_decode_tables(nt, L)
+        assert (pk[0] == np.asarray(dt.packed, np.uint32)).all()
+        built += 1
+    assert built >= 2  # the parametrized log must actually get exercised

@@ -234,6 +234,40 @@ def test_small_alphabet_fast_path_high_logs(L):
         PL.lane_merge(words[0], sizes[0])
 
 
+def test_norm_entry_table_routes_identical():
+    """The two table-build routes of encode_lanes_norm/decode_lanes_norm
+    (host C++ build shipping packed rows vs the on-device XLA build)
+    must produce byte-identical streams and decodes."""
+    from entropy_coders_tpu import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    B, k, Q = 2, 256, 9
+    datas, hists = _mk(55, B, k, Q, geo)
+    L, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
+    R = Q - 1
+    blocks = np.stack(datas)
+    norm_tables = np.stack([np.asarray(h.table, np.int32) for h in hists])
+    We = PL.encode_w_bound(R, L)
+    wh, sh = PL.encode_lanes_norm(blocks, norm_tables, k=k, L=L, W=We,
+                                  interpret=True, host_tables=True)
+    wd, sd = PL.encode_lanes_norm(blocks, norm_tables, k=k, L=L, W=We,
+                                  interpret=True, host_tables=False)
+    assert (np.asarray(sh) == np.asarray(sd)).all()
+    for b in range(B):
+        assert PL.lane_merge(np.asarray(wh)[b], np.asarray(sh)[b]) == \
+            PL.lane_merge(np.asarray(wd)[b], np.asarray(sd)[b])
+        assert (np.asarray(sh)[b] == sizes[b]).all()  # and == oracle
+    for ht in (True, False):
+        syms, finals = PL.decode_lanes_norm(words, sizes, norm_tables,
+                                            k=k, L=L, R=R, interpret=True,
+                                            host_tables=ht)
+        for b, data in enumerate(datas):
+            got = np.concatenate([np.asarray(syms)[b].reshape(-1),
+                                  np.asarray(finals)[b]])
+            assert got.tobytes() == data.tobytes()
+
+
 def test_frame_pl_high_log_roundtrip():
     from entropy_coders_tpu import frame as F
     rng = np.random.default_rng(13)
