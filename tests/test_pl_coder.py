@@ -268,6 +268,37 @@ def test_norm_entry_table_routes_identical():
             assert got.tobytes() == data.tobytes()
 
 
+def test_packed_encode_path_bit_exact():
+    """The packed encode entry (_encode_call_packed: BlockSpecs over the
+    raw (B, R+1, S, 128) block reshape, F == 1 and R % E == 0) and the
+    host-table decode fast path must stay bit-exact vs the spec oracle
+    and the slicing/device routes."""
+    from entropy_coders_tpu import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    B, k, Q = 1, 1024, 10  # R = 9 divides E=3; F = 1 at this (B, k)
+    datas, hists = _mk(77, B, k, Q, geo)
+    L, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
+    R = Q - 1
+    assert R % 3 == 0
+    blocks = np.stack(datas)
+    norm_tables = np.stack([np.asarray(h.table, np.int32) for h in hists])
+    We = PL.encode_w_bound(R, L)
+    wh, sh = PL.encode_lanes_norm(blocks, norm_tables, k=k, L=L, W=We,
+                                  interpret=True, host_tables=True)
+    assert (np.asarray(sh) == sizes).all()
+    pad = np.zeros((We - words.shape[1], k), np.uint32)
+    expect = PL.lane_merge(np.concatenate([words[0], pad]), sizes[0])
+    assert PL.lane_merge(np.asarray(wh)[0], np.asarray(sh)[0]) == expect
+    syms, finals = PL.decode_lanes_norm(words, sizes, norm_tables, k=k,
+                                        L=L, R=R, interpret=True,
+                                        host_tables=True)
+    got = np.concatenate([np.asarray(syms)[0].reshape(-1),
+                          np.asarray(finals)[0]])
+    assert got.tobytes() == datas[0].tobytes()
+
+
 def test_frame_pl_high_log_roundtrip():
     from entropy_coders_tpu import frame as F
     rng = np.random.default_rng(13)
