@@ -299,6 +299,41 @@ def test_packed_encode_path_bit_exact():
     assert got.tobytes() == datas[0].tobytes()
 
 
+def test_pl_lane_is_reference_stream_native_decodable():
+    """Each PL lane's wire bytes are a reference-format single-stream
+    payload (module contract). Cross-implementation proof: wrap a lane
+    in a reference frame (native header + the lane bytes + the terminal
+    marker bit, reference src/lib.rs:112-143) and the independent C++
+    serial decoder must reproduce that lane's strided subsequence."""
+    from entropy_coders_tpu import native
+
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    B, k, Q = 1, 256, 9
+    datas, hists = _mk(91, B, k, Q, geo)
+    L = hists[0].log2
+    data = datas[0]
+    nt = np.asarray(hists[0].table, np.int32)
+    blocks = data[None]
+    We = PL.encode_w_bound(Q - 1, L)
+    words, sizes = PL.encode_lanes_norm(blocks, nt[None], k=k, L=L, W=We,
+                                        interpret=True)
+    payload = PL.lane_merge(np.asarray(words)[0], np.asarray(sizes)[0])
+    header = native.write_header(nt, L, int(np.flatnonzero(nt)[-1]) + 1)
+    nbytes = (np.asarray(sizes)[0] + 7) // 8
+    offs = np.concatenate([[0], np.cumsum(nbytes)])
+    for i in (0, 1, k // 2, k - 1):
+        sz = int(np.asarray(sizes)[0, i])
+        lane = bytearray(payload[int(offs[i]): int(offs[i + 1])])
+        if sz % 8:  # terminal marker bit at position sz
+            lane[-1] |= 1 << (sz % 8)
+        else:
+            lane.append(1)
+        out = native.decompress(header + bytes(lane), k=1,
+                                max_out=len(data))
+        assert out == data[i::k].tobytes()
+
+
 def test_frame_pl_high_log_roundtrip():
     from entropy_coders_tpu import frame as F
     rng = np.random.default_rng(13)
