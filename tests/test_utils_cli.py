@@ -82,3 +82,27 @@ def test_cli_roundtrip(tmp_path):
         [sys.executable, "-m", "entropy_coders_tpu", "stat", str(fc)],
         cwd=root, env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0 and "ratio=" in r.stdout
+
+
+def test_cli_fast_budget_table_log(tmp_path):
+    """--table-log fast:EPS parses to the ("fast", eps) policy form and
+    round-trips through the file CLI."""
+    data = _real_data(16 << 10)
+    fin = tmp_path / "in.bin"
+    fc = tmp_path / "c.fset"
+    fout = tmp_path / "out.bin"
+    fin.write_bytes(data)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", ECT_PLATFORM="cpu")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-m", "entropy_coders_tpu", "compress", str(fin),
+         str(fc), "--block-size", "8192", "--k", "64", "--no-lanes",
+         "--table-log", "fast:0.02"],
+        cwd=root, env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    r = subprocess.run(
+        [sys.executable, "-m", "entropy_coders_tpu", "decompress", str(fc),
+         str(fout)], cwd=root, env=env, capture_output=True, text=True,
+        timeout=300)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert fout.read_bytes() == data
