@@ -12,6 +12,7 @@
 
 #include <cstdint>
 #include <cstring>
+#include <memory>
 #include <vector>
 
 namespace {
@@ -600,11 +601,13 @@ int ect_compress(const uint8_t* src, size_t n, int k, int log2, uint8_t* dst,
   build_encode(h, &et);
   // worst-case payload bound: every symbol emits <= table_log bits, the
   // k finals add table_log each, + marker bit + FastBitWriter's 4-byte
-  // flush slack (each encode() is at most one symbol = one flush)
+  // flush slack. The scratch is deliberately UNINITIALIZED (new[]
+  // without ()) — a vector resize would memset the whole bound (up to
+  // ~2x the input) just for the writer to overwrite it.
   size_t hdr = out.size();
   size_t bound = ((uint64_t)n * h.log2 + 1 + 7) / 8 + 8;
-  out.resize(hdr + bound);
-  FastBitWriter w(out.data() + hdr);
+  std::unique_ptr<uint8_t[]> payload(new uint8_t[bound]);
+  FastBitWriter w(payload.get());
 
   std::vector<Encoder> encs(k);
   for (int j = 0; j < k; j++)
@@ -619,11 +622,12 @@ int ect_compress(const uint8_t* src, size_t n, int k, int log2, uint8_t* dst,
   for (int s = k - 1; s >= 0; s--)
     w.write(encs[s].value, et.table_log);
   w.write(1, 1);
-  out.resize(hdr + (w.finish() + 7) / 8);
+  size_t pbytes = (w.finish() + 7) / 8;
 
-  if (out.size() > dst_cap) return 3;
-  std::memcpy(dst, out.data(), out.size());
-  *out_len = out.size();
+  if (hdr + pbytes > dst_cap) return 3;
+  std::memcpy(dst, out.data(), hdr);
+  std::memcpy(dst + hdr, payload.get(), pbytes);
+  *out_len = hdr + pbytes;
   return 0;
 }
 
@@ -683,6 +687,26 @@ int ect_decompress(const uint8_t* src, size_t n, int k, uint8_t* dst,
 // Semantics identical to spec.fse / ops.tables (tests pin equality).
 // Returns 0 on success, nonzero if any histogram is malformed.
 
+// Validate + complete a raw normalized table (the same invariant
+// NormHistogram::try_from enforces, reference src/histogram.rs:508-536):
+// counts in [-1, 2^log2], slot mass summing to exactly 2^log2, >= 2
+// symbols. The spread/fill loops index by cumulative count, so a
+// malformed table would write out of bounds — reject it instead.
+static bool init_norm_hist(const int32_t* table, int32_t log2, NormHist* h) {
+  std::memcpy(h->table, table, 256 * sizeof(int32_t));
+  h->log2 = log2;
+  h->table_len = 1;
+  int64_t slots = 0;
+  for (int i = 255; i >= 0; i--)
+    if (h->table[i] != 0) { h->table_len = i + 1; break; }
+  for (int i = 0; i < 256; i++) {
+    int32_t c = h->table[i];
+    if (c < -1 || c > (int32_t)1 << log2) return false;
+    slots += (c == -1) ? 1 : c;
+  }
+  return slots == (int64_t)1 << log2 && h->table_len >= 2;
+}
+
 int ect_build_encode_tables(const int32_t* tables /*B x 256*/, int32_t B,
                             int32_t log2, uint16_t* table_out /*B x 2^log2*/,
                             uint32_t* tt_bits_out /*B x 256*/,
@@ -691,11 +715,7 @@ int ect_build_encode_tables(const int32_t* tables /*B x 256*/, int32_t B,
   size_t size = (size_t)1 << log2;
   for (int32_t b = 0; b < B; b++) {
     NormHist h;
-    std::memcpy(h.table, tables + (size_t)b * 256, sizeof(h.table));
-    h.log2 = log2;
-    h.table_len = 1;
-    for (int i = 255; i >= 0; i--)
-      if (h.table[i] != 0) { h.table_len = i + 1; break; }
+    if (!init_norm_hist(tables + (size_t)b * 256, log2, &h)) return 2;
     EncTable et;
     build_encode(h, &et);
     std::memcpy(table_out + (size_t)b * size, et.table.data(),
@@ -714,11 +734,7 @@ int ect_build_decode_tables(const int32_t* tables /*B x 256*/, int32_t B,
   size_t size = (size_t)1 << log2;
   for (int32_t b = 0; b < B; b++) {
     NormHist h;
-    std::memcpy(h.table, tables + (size_t)b * 256, sizeof(h.table));
-    h.log2 = log2;
-    h.table_len = 1;
-    for (int i = 255; i >= 0; i--)
-      if (h.table[i] != 0) { h.table_len = i + 1; break; }
+    if (!init_norm_hist(tables + (size_t)b * 256, log2, &h)) return 2;
     DecTable dt;
     build_decode(h, &dt);
     uint32_t* out = packed_out + (size_t)b * size;

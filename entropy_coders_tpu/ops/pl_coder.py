@@ -125,29 +125,12 @@ def pack_enc_table_rows(table, tt_bits, tt_fs, L: int, small: bool = False):
     alphabet bound; symbols >= 128 have count 0 and never appear in a
     valid stream.
 
-    The asserts are static guarantees of the table-log; they catch a
-    mispacked table before it silently corrupts an encode."""
-    tb = np.asarray(tt_bits, np.uint32).astype(np.int64)
-    fs = np.asarray(tt_fs, np.int64)
-    if small:
-        tb, fs = tb[:128], fs[:128]
-    mb = (tb + 0xFFFF) >> 16           # max_bits_out (ceil of tb/2^16)
-    msp = (mb << 16) - tb              # min_state_plus
-    if L <= 10:
-        assert tb.max() < (L + 2) << 16 and np.abs(fs).max() < (1 << L)
-        symt = _table_rows((tb << (L + 1)) | (fs + (1 << L)))
-    elif L <= 12:
-        assert (mb.max() <= 15 and msp.max() <= 0x3FFF
-                and np.abs(fs).max() < 4096)
-        symt = _table_rows((mb << 27) | (msp << 13) | (fs + 4096))
-    else:
-        # two-plane transform (see _sym_transform): A = mb|fs, B = msp
-        assert (mb.max() <= 16 and msp.max() <= (1 << 16)
-                and np.abs(fs).max() < (1 << 15))
-        plane_a = _table_rows((mb << 18) | (fs + (1 << 17)))
-        symt = np.concatenate([plane_a, _table_rows(msp)], axis=0)
-    t64 = np.asarray(table, np.int64)
-    stt = _table_rows(t64[0::2] | (t64[1::2] << 16))
+    Thin per-block wrapper over the batched packers (_pack_symt_np /
+    _stt_rows_np — the single normative host copy; the asserts guarding
+    a mispacked table live there)."""
+    symt = _pack_symt_np(np.asarray(tt_bits)[None],
+                         np.asarray(tt_fs)[None], L, small)[0]
+    stt = _stt_rows_np(np.asarray(table)[None])[0]
     return symt, stt
 
 
@@ -157,16 +140,9 @@ def decode_table_rows(packed: np.ndarray, L: int) -> np.ndarray:
     (nb<<12|base) u16 PAIRS and sym QUADS packed per i32 word — 3/4 the
     gather rows of the flat layout (nb <= 12 fits 4 bits, base < 2^12);
     above L=12 base needs more bits and the flat one-entry-per-word
-    layout is used."""
-    pk = np.asarray(packed, np.uint32).astype(np.int64)
-    if L > 12:
-        return _table_rows(pk)
-    nbns = (((pk >> 16) & 0xFF) << 12) | (pk & 0xFFF)
-    pairs = nbns[0::2] | (nbns[1::2] << 16)
-    sym = pk >> 24
-    quads = (sym[0::4] | (sym[1::4] << 8) | (sym[2::4] << 16)
-             | (sym[3::4] << 24))
-    return np.concatenate([_table_rows(pairs), _table_rows(quads)], axis=0)
+    layout is used. Thin per-block wrapper over the batched
+    ``_dec_rows_np`` (the single normative host copy)."""
+    return _dec_rows_np(np.asarray(packed)[None], L)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -506,20 +482,37 @@ def _rows_np(vals: np.ndarray) -> np.ndarray:
 
 
 def _pack_symt_np(tt_bits, tt_fs, L: int, small: bool) -> np.ndarray:
-    """Batched host analog of _pack_symt_dev (same normative packing as
-    pack_enc_table_rows)."""
-    tb = tt_bits.astype(np.int64)
-    fs = tt_fs.astype(np.int64)
+    """Batched symbol-transform packing (B, 256|128) -> (B, rows, 128)
+    gather rows — the single normative HOST copy (per-block wrapper:
+    pack_enc_table_rows; device analog: _pack_symt_dev). The asserts
+    are static guarantees of the table-log; they catch a mispacked
+    table before it silently corrupts an encode."""
+    tb = np.asarray(tt_bits, np.uint32).astype(np.int64)
+    fs = np.asarray(tt_fs, np.int64)
     if small:
         tb, fs = tb[:, :128], fs[:, :128]
+    mb = (tb + 0xFFFF) >> 16           # max_bits_out (ceil of tb/2^16)
+    msp = (mb << 16) - tb              # min_state_plus
     if L <= 10:
+        assert tb.max() < (L + 2) << 16 and np.abs(fs).max() < (1 << L)
         return _rows_np((tb << (L + 1)) | (fs + (1 << L)))
-    mb = (tb + 0xFFFF) >> 16
-    msp = (mb << 16) - tb
     if L <= 12:
+        assert (mb.max() <= 15 and msp.max() <= 0x3FFF
+                and np.abs(fs).max() < 4096)
         return _rows_np((mb << 27) | (msp << 13) | (fs + 4096))
+    # two-plane transform (see _sym_transform): A = mb|fs, B = msp
+    assert (mb.max() <= 16 and msp.max() <= (1 << 16)
+            and np.abs(fs).max() < (1 << 15))
     plane_a = _rows_np((mb << 18) | (fs + (1 << 17)))
     return np.concatenate([plane_a, _rows_np(msp)], axis=1)
+
+
+def _stt_rows_np(table) -> np.ndarray:
+    """Batched next-state table pair-packing (B, 2^L) u16 -> (B, rows,
+    128) gather rows (2 entries per i32 word — see _encode_kernel's
+    _next_state)."""
+    t64 = np.asarray(table, np.int64)
+    return _rows_np(t64[:, 0::2] | (t64[:, 1::2] << 16))
 
 
 def _dec_rows_np(packed: np.ndarray, L: int) -> np.ndarray:
@@ -580,6 +573,27 @@ def _pack_symt_dev(tt_bits, tt_fs, L, small=False):
     return jnp.concatenate([plane_a, _rows_dev(msp)], axis=1)
 
 
+def _encode_fused(blocks, symtf, sttf, *, k, L, R, W, F, interpret):
+    """Shared layout + kernel tail of _encode_e2e/_encode_e2e_rows (one
+    copy of the fiddly fusion reshapes): lane i codes bytes {i, i+k,
+    ...} — round r, lane i = byte r*k+i; the kernel consumes rounds in
+    reverse (via its grid index map — no flipped copy); each lane's
+    LAST byte folds into the initial state (reference
+    src/fse.rs:210-218)."""
+    B = blocks.shape[0]
+    Bf, S = B // F, F * k // 128
+    syms_nat = blocks[:, : R * k].reshape(B, R, k)
+    if F == 1:
+        syms_f = syms_nat.reshape(Bf, R, S, 128)  # pure reshape, no copy
+    else:
+        syms_f = (syms_nat.reshape(Bf, F, R, k).transpose(0, 2, 1, 3)
+                  .reshape(Bf, R, S, 128))
+    initf = blocks[:, R * k :].reshape(Bf, S, 128)
+    words, sizes = _encode_call(syms_f, initf, symtf, sttf, S=S, W=W, L=L,
+                                R=R, interpret=interpret)
+    return words, sizes.reshape(Bf, F, k).reshape(B, k)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "L", "R", "W", "F",
                                              "interpret", "small"))
 def _encode_e2e(blocks, norm_tables, *, k, L, R, W, F, interpret,
@@ -589,9 +603,7 @@ def _encode_e2e(blocks, norm_tables, *, k, L, R, W, F, interpret,
     reversal, superblock fusion, and the Pallas kernel in one jit.
     ``small``: every block's alphabet fits 128 symbols — the transform
     gather rows halve (pack_enc_table_rows)."""
-    B = blocks.shape[0]
     S_each = k // 128
-    Bf, S = B // F, F * k // 128
     tbl, tt_bits, tt_fs = jax.vmap(
         functools.partial(build_encode_table, log2=L))(
             norm_tables.astype(jnp.int32))
@@ -603,20 +615,8 @@ def _encode_e2e(blocks, norm_tables, *, k, L, R, W, F, interpret,
     t32 = tbl.astype(jnp.int32)
     pairs = t32[:, 0::2] | (t32[:, 1::2] << 16)
     sttf = _fuse_tbl_dev(_rows_dev(pairs), S_each, F)
-    # lane i codes bytes {i, i+k, ...}: round r, lane i = byte r*k+i; the
-    # kernel consumes rounds in reverse (via its grid index map — no
-    # flipped copy); each lane's LAST byte folds into the initial state
-    # (reference src/fse.rs:210-218)
-    syms_nat = blocks[:, : R * k].reshape(B, R, k)
-    if F == 1:
-        syms_f = syms_nat.reshape(Bf, R, S, 128)  # pure reshape, no copy
-    else:
-        syms_f = (syms_nat.reshape(Bf, F, R, k).transpose(0, 2, 1, 3)
-                  .reshape(Bf, R, S, 128))
-    initf = blocks[:, R * k :].reshape(Bf, S, 128)
-    words, sizes = _encode_call(syms_f, initf, symtf, sttf, S=S, W=W, L=L,
-                                R=R, interpret=interpret)
-    return words, sizes.reshape(Bf, F, k).reshape(B, k)
+    return _encode_fused(blocks, symtf, sttf, k=k, L=L, R=R, W=W, F=F,
+                         interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "L", "R", "W", "F",
@@ -624,23 +624,13 @@ def _encode_e2e(blocks, norm_tables, *, k, L, R, W, F, interpret,
 def _encode_e2e_rows(blocks, symt_rows, stt_rows, *, k, L, R, W, F,
                      interpret):
     """_encode_e2e with PREBUILT table gather rows (host native build):
-    skips the on-device table-build chain — only the layout reshapes and
-    the kernel remain on device."""
-    B = blocks.shape[0]
+    skips the on-device table-build chain — only the layout reshapes
+    (_encode_fused) and the kernel remain on device."""
     S_each = k // 128
-    Bf, S = B // F, F * k // 128
     symtf = _fuse_tbl_dev(symt_rows, S_each, F)
     sttf = _fuse_tbl_dev(stt_rows, S_each, F)
-    syms_nat = blocks[:, : R * k].reshape(B, R, k)
-    if F == 1:
-        syms_f = syms_nat.reshape(Bf, R, S, 128)  # pure reshape, no copy
-    else:
-        syms_f = (syms_nat.reshape(Bf, F, R, k).transpose(0, 2, 1, 3)
-                  .reshape(Bf, R, S, 128))
-    initf = blocks[:, R * k :].reshape(Bf, S, 128)
-    words, sizes = _encode_call(syms_f, initf, symtf, sttf, S=S, W=W, L=L,
-                                R=R, interpret=interpret)
-    return words, sizes.reshape(Bf, F, k).reshape(B, k)
+    return _encode_fused(blocks, symtf, sttf, k=k, L=L, R=R, W=W, F=F,
+                         interpret=interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("w_act", "F", "k"))
@@ -706,8 +696,7 @@ def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
     if host_tables:
         table, tt_bits, tt_fs = native.build_encode_tables(nt, L)
         symt = _pack_symt_np(tt_bits, tt_fs, L, small)
-        t64 = table.astype(np.int64)
-        stt = _rows_np(t64[:, 0::2] | (t64[:, 1::2] << 16))
+        stt = _stt_rows_np(table)
         if F == 1 and R % _pick_e(L) == 0:
             # packed fast path: the kernel reads the raw (B, R+1, S, 128)
             # reshape of the blocks directly — no in-jit slice copy
@@ -843,10 +832,13 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
         def collect():
             if int(jnp.sum(err)) != 0:
                 raise ValueError("corrupt stream: lane cursor not drained")
-            # kernel-layout outputs: slice the padded epoch rounds and
-            # unfuse host-side (free views; d2h pays < 0.3% extra bytes)
-            s = np.asarray(syms).reshape(Bp2, -1, k)[:B, :R]
-            f = np.asarray(finals).reshape(Bp2, k)[:B].astype(np.uint8)
+            # slice the bucket-pad blocks on DEVICE (transfer only the B
+            # real blocks), the padded epoch rounds host-side (< 0.3%
+            # extra d2h vs a full-output device copy)
+            sd = syms if B == Bp2 else syms[:B]
+            fd = finals if B == Bp2 else finals[:B]
+            s = np.asarray(sd).reshape(B, -1, k)[:, :R]
+            f = np.asarray(fd).reshape(B, k).astype(np.uint8)
             return s, f
 
         return collect if lazy else collect()
@@ -873,7 +865,10 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
     def collect():
         if int(jnp.sum(err)) != 0:
             raise ValueError("corrupt stream: lane cursor not drained")
-        return np.asarray(syms)[:B], np.asarray(finals)[:B]
+        # slice the bucket-pad blocks on device: transfer only B blocks
+        Bp2 = syms.shape[0]
+        return (np.asarray(syms if B == Bp2 else syms[:B]),
+                np.asarray(finals if B == Bp2 else finals[:B]))
 
     return collect if lazy else collect()
 

@@ -183,3 +183,34 @@ def test_native_table_builds_match_spec(L):
         assert (pk[0] == np.asarray(dt.packed, np.uint32)).all()
         built += 1
     assert built >= 2  # the parametrized log must actually get exercised
+
+
+def test_native_table_builds_reject_malformed():
+    """Malformed normalized tables (mass not summing to 2^log2, counts
+    out of range, single-symbol) must return a clean error, never write
+    out of bounds (found by round-4 code review: an unvalidated table
+    drove heap corruption)."""
+    if not native.available():
+        pytest.skip("native codec unavailable")
+    bad = np.zeros((1, 256), np.int32)
+    bad[0, :8] = 128  # sums to 1024, table size 256
+    for builder in (lambda t: native.build_encode_tables(t, 8),
+                    lambda t: native.build_decode_tables(t, 8)):
+        with pytest.raises(ValueError):
+            builder(bad)
+        over = np.zeros((1, 256), np.int32)
+        over[0, 0] = 300  # count > 2^log2
+        over[0, 1] = -44
+        with pytest.raises(ValueError):
+            builder(over)
+        short = np.zeros((1, 256), np.int32)
+        short[0, 3] = 100  # sums below 2^log2
+        with pytest.raises(ValueError):
+            builder(short)
+    # a single symbol holding the whole table is DEGENERATE but
+    # memory-safe and spec.fse builds it too (the codec layers reject it
+    # separately — spec.codec / ect_compress) — builders must accept it
+    single = np.zeros((1, 256), np.int32)
+    single[0, 7] = 256
+    native.build_encode_tables(single, 8)
+    native.build_decode_tables(single, 8)
