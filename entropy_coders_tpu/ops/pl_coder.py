@@ -98,15 +98,6 @@ def _shr_u(x, n):
 # ---------------------------------------------------------------------------
 
 
-def _table_rows(values: np.ndarray) -> np.ndarray:
-    """(n,) int table -> (max(n//128,1), 128) int32 rows for the in-kernel
-    HI-way lane gather (entry i lives at [i >> 7, i & 127])."""
-    v = np.asarray(values).astype(np.int64)
-    if v.shape[0] < 128:
-        v = np.pad(v, (0, 128 - v.shape[0]))
-    return v.reshape(-1, 128).astype(np.uint32).view(np.int32)
-
-
 def pack_enc_table_rows(table, tt_bits, tt_fs, L: int, small: bool = False):
     """Host-side encode-table packing into in-kernel gather rows:
     ``(symbol-transform rows, pair-packed next-state rows)``. The single
@@ -532,7 +523,7 @@ def _dec_rows_np(packed: np.ndarray, L: int) -> np.ndarray:
 
 def _rows_dev(vals_i32):
     """(B, n) int32 -> (B, max(n//128,1), 128) gather rows (device analog
-    of _table_rows; entry i of block b lives at [b, i >> 7, i & 127])."""
+    of _rows_np; entry i of block b lives at [b, i >> 7, i & 127])."""
     B, n = vals_i32.shape
     if n < 128:
         vals_i32 = jnp.pad(vals_i32, ((0, 0), (0, 128 - n)))
