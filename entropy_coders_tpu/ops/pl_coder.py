@@ -735,11 +735,28 @@ def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
 
 @functools.partial(jax.jit, static_argnames=("k", "L", "R", "F",
                                              "interpret"))
+def _decode_fused(words, sizes, tblf, *, k, L, R, F, interpret):
+    """Shared layout + kernel tail of _decode_e2e/_decode_e2e_rows (one
+    copy of the fusion reshapes): fuse the word/size layout, run the
+    kernel, unfuse + slice the outputs."""
+    B, W = words.shape[0], words.shape[1]
+    Bf, S = B // F, F * k // 128
+    wordsf = (words.reshape(Bf, F, W, k).transpose(0, 2, 1, 3)
+              .reshape(Bf, W, S, 128))
+    sizesf = sizes.reshape(Bf, S, 128)
+    syms, finals, err = _decode_call(wordsf, sizesf, tblf, S=S, W=W, L=L,
+                                     R=R, interpret=interpret)
+    syms = (syms[:, :R].reshape(Bf, R, F, k).transpose(0, 2, 1, 3)
+            .reshape(B, R, k))
+    finals = finals.reshape(Bf, F, k).reshape(B, k).astype(jnp.uint8)
+    return syms, finals, err
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L", "R", "F",
+                                              "interpret"))
 def _decode_e2e(words, sizes, norm_tables, *, k, L, R, F, interpret):
     """Lane words + normalized histograms -> decoded symbols, fully on
     device (batched decode-table build + fusion + the Pallas kernel)."""
-    B, W = words.shape[0], words.shape[1]
-    Bf, S = B // F, F * k // 128
     packed = jax.vmap(functools.partial(build_decode_table, log2=L))(
         norm_tables.astype(jnp.int32))
     pk = lax.bitcast_convert_type(packed, jnp.int32)
@@ -755,15 +772,21 @@ def _decode_e2e(words, sizes, norm_tables, *, k, L, R, F, interpret):
     else:
         rows = _rows_dev(pk)
     tblf = _fuse_tbl_dev(rows, k // 128, F)
-    wordsf = (words.reshape(Bf, F, W, k).transpose(0, 2, 1, 3)
-              .reshape(Bf, W, S, 128))
-    sizesf = sizes.reshape(Bf, S, 128)
-    syms, finals, err = _decode_call(wordsf, sizesf, tblf, S=S, W=W, L=L,
-                                     R=R, interpret=interpret)
-    syms = (syms[:, :R].reshape(Bf, R, F, k).transpose(0, 2, 1, 3)
-            .reshape(B, R, k))
-    finals = finals.reshape(Bf, F, k).reshape(B, k).astype(jnp.uint8)
-    return syms, finals, err
+    return _decode_fused(words, sizes, tblf, k=k, L=L, R=R, F=F,
+                         interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "L", "R", "F",
+                                              "interpret"))
+def _decode_e2e_rows(words, sizes, rows, *, k, L, R, F, interpret):
+    """_decode_e2e with PREBUILT decode-table gather rows (host native
+    build): skips the on-device table-build chain; fusion stays on
+    device (the F > 1 superblock and device-resident-words cases — the
+    F == 1 host-words fast path pre-shapes and calls the kernel
+    directly instead)."""
+    tblf = _fuse_tbl_dev(rows, k // 128, F)
+    return _decode_fused(words, sizes, tblf, k=k, L=L, R=R, F=F,
+                         interpret=interpret)
 
 
 def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
@@ -794,23 +817,24 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
     F = _fuse_factor(Bp, k, mesh)
     if host_tables is None:
         host_tables = native.available()
-    # the host fast path pre-shapes on the host (free views) and calls
-    # the kernel directly; it needs host words and the unfused layout
-    host_tables = host_tables and isinstance(words, np.ndarray) and F == 1
     nt = np.ascontiguousarray(np.asarray(norm_tables), np.int32)
     quantum = F * (mesh.size if mesh is not None else 1)
     pad = _cdiv(Bp, quantum) * quantum - B
+    if pad:  # pad with copies of block 0 (results discarded)
+        nt = np.concatenate([nt, np.repeat(nt[:1], pad, 0)])
+    rows_np = (_dec_rows_np(native.build_decode_tables(nt, L), L)
+               if host_tables else None)
 
-    if host_tables:
+    if host_tables and F == 1 and isinstance(words, np.ndarray):
+        # fast path: pre-shape on the host (free views) and call the
+        # kernel directly — no in-jit layout work at all
         wn = words.view(np.int32)
         sn = np.ascontiguousarray(np.asarray(sizes), np.int32)
-        if pad:  # pad with copies of block 0 (results discarded)
+        if pad:
             wn = np.concatenate([wn, np.repeat(wn[:1], pad, 0)])
             sn = np.concatenate([sn, np.repeat(sn[:1], pad, 0)])
-            nt = np.concatenate([nt, np.repeat(nt[:1], pad, 0)])
         Bp2 = wn.shape[0]
         S = k // 128
-        rows = _dec_rows_np(native.build_decode_tables(nt, L), L)
         call = functools.partial(_decode_call, S=S, W=W, L=L, R=R,
                                  interpret=interpret)
         if mesh is not None:
@@ -818,7 +842,7 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
         syms, finals, err = call(
             jnp.asarray(wn.reshape(Bp2, W, S, 128)),
             jnp.asarray(sn.reshape(Bp2, S, 128)),
-            jnp.asarray(rows[:, :, None, :]))
+            jnp.asarray(rows_np[:, :, None, :]))
 
         def collect():
             if int(jnp.sum(err)) != 0:
@@ -842,16 +866,23 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
     if pad:  # pad with copies of block 0 (results discarded)
         words = jnp.concatenate([words, jnp.repeat(words[:1], pad, 0)])
         sizes = jnp.concatenate([sizes, jnp.repeat(sizes[:1], pad, 0)])
-        nt = np.concatenate([nt, np.repeat(nt[:1], pad, 0)])
-    call = functools.partial(_decode_e2e, k=k, L=L, R=R, F=F,
-                             interpret=interpret)
+    if host_tables:
+        # fused superblocks / device-resident words: host-built rows,
+        # device-side fusion (still skips the on-device table build)
+        call = functools.partial(_decode_e2e_rows, k=k, L=L, R=R, F=F,
+                                 interpret=interpret)
+        tbl_arg = jnp.asarray(rows_np)
+    else:
+        call = functools.partial(_decode_e2e, k=k, L=L, R=R, F=F,
+                                 interpret=interpret)
+        tbl_arg = jnp.asarray(nt)
     if mesh is not None:
         from jax.sharding import PartitionSpec
 
         spec = PartitionSpec(mesh.axis_names[0])
         call = jax.shard_map(call, mesh=mesh, in_specs=(spec,) * 3,
                              out_specs=(spec, spec, spec), check_vma=False)
-    syms, finals, err = call(jnp.asarray(words), sizes, jnp.asarray(nt))
+    syms, finals, err = call(jnp.asarray(words), sizes, tbl_arg)
 
     def collect():
         if int(jnp.sum(err)) != 0:
