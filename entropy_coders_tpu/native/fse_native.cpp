@@ -847,13 +847,6 @@ int64_t ect_lane_merge(const uint32_t* words, int32_t W, int32_t k,
 // src/bitstream/writer.rs:177-222). Little-endian unaligned 64-bit
 // read-modify-writes; callers provide 8 bytes of slack past the end.
 
-static inline void or_bits64(uint8_t* out, uint64_t bitpos, uint64_t val) {
-  // OR up to 57 significant bits of val into the stream at bitpos
-  uint64_t cur;
-  std::memcpy(&cur, out + (bitpos >> 3), 8);
-  cur |= val << (bitpos & 7);
-  std::memcpy(out + (bitpos >> 3), &cur, 8);
-}
 
 static inline uint32_t get_bits32(const uint8_t* p, uint64_t bitpos,
                                   int nbits) {
@@ -873,19 +866,30 @@ int64_t ect_lane_merge_bits(const uint32_t* words, int32_t W, int32_t k,
                             const int32_t* sizes_bits, uint8_t* out) {
   std::vector<uint32_t> tmp((size_t)k * W);
   transpose_u32(words, tmp.data(), W, k);
-  uint64_t bitoff = 0;
+  // sequential accumulator (FastBitWriter) instead of per-word
+  // overlapping 8-byte read-modify-writes: every output byte is stored
+  // exactly once, no store-to-load forwarding stalls
+  FastBitWriter wtr(out);
   for (int32_t i = 0; i < k; i++) {
     const uint32_t* src = &tmp[(size_t)i * W];
     int64_t nbits = sizes_bits[i];
     int64_t w = 0;
-    for (; nbits >= 32; nbits -= 32, w++, bitoff += 32)
-      or_bits64(out, bitoff, src[w]);
+    for (; nbits >= 32; nbits -= 32, w++) {
+      uint32_t v = src[w];  // 32 > FastBitWriter's 16-bit limit: halves
+      wtr.write(v & 0xFFFF, 16);
+      wtr.write(v >> 16, 16);
+    }
     if (nbits > 0) {
-      or_bits64(out, bitoff, src[w] & ((1u << nbits) - 1));
-      bitoff += (uint64_t)nbits;
+      uint32_t v = src[w] & ((1u << nbits) - 1);
+      if (nbits > 16) {
+        wtr.write(v & 0xFFFF, 16);
+        wtr.write(v >> 16, (int)nbits - 16);
+      } else {
+        wtr.write(v, (int)nbits);
+      }
     }
   }
-  return (int64_t)((bitoff + 7) / 8);
+  return (int64_t)((wtr.finish() + 7) / 8);
 }
 
 int64_t ect_lane_merge_bits(const uint32_t* words, int32_t W, int32_t k,
