@@ -848,14 +848,6 @@ int64_t ect_lane_merge(const uint32_t* words, int32_t W, int32_t k,
 // read-modify-writes; callers provide 8 bytes of slack past the end.
 
 
-static inline uint32_t get_bits32(const uint8_t* p, uint64_t bitpos,
-                                  int nbits) {
-  uint64_t cur;
-  std::memcpy(&cur, p + (bitpos >> 3), 8);
-  cur >>= (bitpos & 7);
-  uint64_t mask = nbits >= 64 ? ~0ull : ((1ull << nbits) - 1);
-  return (uint32_t)(cur & mask);
-}
 
 // Pack the padded (W, k) u32 array into a bit-packed payload of
 // sum(sizes) bits. `out` must be zeroed, with capacity
@@ -953,21 +945,35 @@ int64_t ect_lane_split_bits(const uint8_t* payload, size_t plen,
   for (int32_t i = 0; i < k; i++) total += (uint64_t)sizes_bits[i];
   if ((total + 7) / 8 > plen) return -1;
   std::vector<uint32_t> tmp((size_t)k * W, 0);
-  uint64_t bitoff = 0;
+  // sequential read accumulator (mirror of the merge's FastBitWriter):
+  // one aligned-stride 4-byte load per 32 consumed bits instead of an
+  // unaligned 8-byte load per word. Callers guarantee 8 readable slack
+  // bytes past the payload (the ctypes wrappers pad).
+  uint64_t acc = 0;
+  int bits = 0;
+  size_t pos = 0;
+  uint64_t consumed = 0;
   for (int32_t i = 0; i < k; i++) {
     uint32_t* dst = &tmp[(size_t)i * W];
     int64_t nbits = sizes_bits[i];
     if ((nbits + 31) / 32 > W) return -1;
-    int64_t w = 0;
-    for (; nbits >= 32; nbits -= 32, w++, bitoff += 32)
-      dst[w] = get_bits32(payload, bitoff, 32);
-    if (nbits > 0) {
-      dst[w] = get_bits32(payload, bitoff, (int)nbits);
-      bitoff += (uint64_t)nbits;
+    consumed += (uint64_t)nbits;
+    for (int64_t w = 0; nbits > 0; nbits -= 32, w++) {
+      int nb = nbits >= 32 ? 32 : (int)nbits;
+      if (bits < nb) {
+        uint32_t v;
+        std::memcpy(&v, payload + pos, 4);
+        acc |= (uint64_t)v << bits;
+        bits += 32;
+        pos += 4;
+      }
+      dst[w] = (uint32_t)(acc & (((uint64_t)1 << nb) - 1));
+      acc >>= nb;
+      bits -= nb;
     }
   }
   transpose_u32(tmp.data(), out, k, W);
-  return (int64_t)((bitoff + 7) / 8);
+  return (int64_t)((consumed + 7) / 8);
 }
 
 }  // extern "C"
