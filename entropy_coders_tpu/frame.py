@@ -192,6 +192,9 @@ def compress(
     instead of histogramming ``data`` — the multi-host path passes the
     globally all-reduced histogram so every host's sub-frame carries the
     identical header (parallel/multihost.py)."""
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # idempotent; Mosaic compiles are minutes
     if lanes is None:
         lanes = jax.default_backend() == "tpu"
     if table_log is None:
@@ -681,6 +684,9 @@ def _decompress_parsed(pf: "_ParsedFrame", *, sharding=None,
                        length: int | None = None, out=None):
     """Range-decode an already-parsed frame (callers that decode many
     ranges of one frame — file streaming — parse once)."""
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if length is None:
         length = pf.total_len - start
     if not (0 <= start <= pf.total_len and 0 <= length <= pf.total_len - start):

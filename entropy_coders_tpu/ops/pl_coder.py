@@ -663,7 +663,9 @@ def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
     closure runs — callers pipeline chunks by dispatching several and
     collecting in order (frame._encode_group_pl)."""
     from .. import native
+    from ..utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()  # idempotent; Mosaic compiles are minutes
     B, n = blocks.shape
     if n % k or k % 128:
         raise ValueError("k must be a multiple of 128 and divide n")
@@ -804,7 +806,9 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
     dispatch; the sync and the error check happen when it runs — see
     encode_lanes_norm)."""
     from .. import native
+    from ..utils.cache import enable_compilation_cache
 
+    enable_compilation_cache()  # idempotent; Mosaic compiles are minutes
     B, W, kk = words.shape
     if kk != k or k % 128:
         raise ValueError("k must be a multiple of 128 and match words")

@@ -12,10 +12,6 @@ import os
 # test suite needs 8 virtual devices and fast compiles; the bench and the
 # driver's dryrun exercise the real chip.
 os.environ["JAX_PLATFORMS"] = "cpu"
-# persistent compile cache: the suite compiles many (shape, k, log2)
-# variants of the scan kernels; cache them across runs.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -27,6 +23,15 @@ import jax  # noqa: E402
 # The axon TPU plugin (sitecustomize) overrides JAX_PLATFORMS; the config
 # update is authoritative as long as it runs before first backend use.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the suite compiles many (shape, k, log2)
+# variants of the scan kernels; cache them across runs. Env vars are NOT
+# enough here — this sandbox preloads jax before conftest runs, so
+# JAX_COMPILATION_CACHE_DIR set now would silently no-op; the helper
+# applies jax.config.update, which works regardless (utils/cache.py).
+from entropy_coders_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/tmp/jax_test_cache", min_compile_secs=0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

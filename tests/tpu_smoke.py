@@ -33,6 +33,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from entropy_coders_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/tmp/jax_bench_cache")
+
 
 def main(argv=None) -> int:
     quick = "--quick" in (argv or sys.argv[1:])
