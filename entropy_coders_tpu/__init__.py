@@ -11,6 +11,9 @@ zstd's encoding scheme), re-designed TPU-first:
 * ``frame``    — block container for large buffers (multi-block frames).
 * ``parallel`` — multi-chip sharding over a ``jax.sharding.Mesh``.
 * ``native``   — C++ host codec (fast CPU oracle / fallback).
+* ``stream``   — bounded-memory file compression (atomic writes).
+* ``checkpoint`` — compressed pytree checkpoints with per-tensor
+  random-access loads.
 """
 
 from .constants import TABLE_LOG_DEFAULT, TABLE_LOG_MAX, TABLE_LOG_MIN
