@@ -106,9 +106,16 @@ def _leaf_bytes(arr: np.ndarray) -> bytes:
 
 
 def _restore_leaf(buf, meta) -> np.ndarray:
-    dt = np.dtype(meta["dtype"])
-    arr = np.frombuffer(buf, dt.newbyteorder("<") if dt.itemsize > 1 else dt)
-    return arr.reshape(meta["shape"]).astype(dt, copy=False)
+    # corruption contract (mirrors the frame's, tests/test_golden.py
+    # manifest fuzz): a malformed manifest raises ValueError, never a
+    # raw TypeError/IndexError from numpy internals
+    try:
+        dt = np.dtype(meta["dtype"])
+        arr = np.frombuffer(buf, dt.newbyteorder("<") if dt.itemsize > 1
+                            else dt)
+        return arr.reshape(meta["shape"]).astype(dt, copy=False)
+    except (TypeError, KeyError, IndexError) as e:
+        raise ValueError(f"corrupt checkpoint manifest: {e!r}") from e
 
 
 # --- save -------------------------------------------------------------------
@@ -215,8 +222,11 @@ class Checkpoint:
         """Decode ONE tensor: touches only the frame blocks overlapping
         its byte range (O(tensor), not O(checkpoint))."""
         m = self.leaf_meta(path)
-        buf = F._decompress_parsed(self._pf, start=m["offset"],
-                                   length=m["nbytes"])
+        try:
+            buf = F._decompress_parsed(self._pf, start=m["offset"],
+                                       length=m["nbytes"])
+        except (TypeError, KeyError) as e:  # non-int offset/nbytes etc.
+            raise ValueError(f"corrupt checkpoint manifest: {e!r}") from e
         return _restore_leaf(buf, m)
 
     def load(self):
@@ -226,11 +236,15 @@ class Checkpoint:
         if self._pf.total_len:
             F._decompress_parsed(self._pf, out=out)
         view = memoryview(out)
-        arrs = [
-            _restore_leaf(view[m["offset"]: m["offset"] + m["nbytes"]], m)
-            for m in self._leaves
-        ]
-        return _unflatten(self._skel, arrs)
+        try:
+            arrs = [
+                _restore_leaf(view[m["offset"]: m["offset"] + m["nbytes"]],
+                              m)
+                for m in self._leaves
+            ]
+            return _unflatten(self._skel, arrs)
+        except (TypeError, KeyError, IndexError) as e:  # corruption
+            raise ValueError(f"corrupt checkpoint manifest: {e!r}") from e
 
     def close(self):
         if getattr(self, "_mm", None) is not None:

@@ -97,7 +97,31 @@ CASES = [
     {"name": "frame_packed_crc", "codec": "frame", "k": 128,
      "block_size": 2048, "lanes": True, "bit_pack": True, "checksum": True,
      "input": {"kind": "narrow", "hi": 8, "size": 4 * 2048, "seed": 11}},
+    # checkpoint container (checkpoint.py: FSCK header | manifest | frame)
+    {"name": "ckpt_small", "codec": "checkpoint", "k": 128,
+     "block_size": 2048, "lanes": True, "checksum": True,
+     "input": {"kind": "ckpt_tree", "seed": 12}},
 ]
+
+
+def make_ckpt_tree(seed: int):
+    """Small deterministic pytree covering the manifest's node/dtype
+    space: nested dict/list/tuple/None, f32/f64/bf16/int8/bool leaves,
+    and a 0-d scalar (checkpoint.py supports exactly these shapes)."""
+    import ml_dtypes
+
+    r = np.random.default_rng(seed)
+    return {
+        "params": {
+            "w": r.standard_normal((24, 16)).astype(np.float32),
+            "b": np.zeros(16, np.float32),
+            "emb": r.standard_normal((32, 8)).astype(ml_dtypes.bfloat16),
+        },
+        "opt": [r.integers(-128, 128, 500).astype(np.int8),
+                (r.standard_normal(7), None)],
+        "step": np.asarray(12345, np.int64),
+        "flags": np.array([True, False, True]),
+    }
 
 
 def make_mixed(n: int, seed: int) -> np.ndarray:
@@ -115,6 +139,20 @@ def build_case(case: dict) -> bytes:
     from entropy_coders_tpu import frame as F
 
     spec = case["input"]
+    if case["codec"] == "checkpoint":
+        import tempfile
+
+        from entropy_coders_tpu import checkpoint as CK
+
+        kwargs = {kk: case[kk] for kk in
+                  ("block_size", "k", "lanes", "checksum", "bit_pack")
+                  if kk in case}
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "g.fsck")
+            CK.save_pytree(p, make_ckpt_tree(spec["seed"]),
+                           interpret=True, **kwargs)
+            with open(p, "rb") as f:
+                return f.read()
     data = (make_mixed(spec["size"], spec["seed"])
             if spec["kind"] == "mixed_rle_raw" else make_input(spec))
     if case["codec"] == "stream":

@@ -96,3 +96,79 @@ def test_frame_golden_roundtrip(case):
     data = _case_data(case)
     out = F.decompress(_golden_bytes(case["name"]), interpret=True)
     assert out == data.tobytes()
+
+
+# --- checkpoint container (checkpoint.py, FSCK format) ----------------------
+
+
+def _ckpt_case():
+    return next(c for c in CASES if c["codec"] == "checkpoint")
+
+
+def _assert_tree_equal(a, b, path="<root>"):
+    if a is None:
+        assert b is None, path
+        return
+    if isinstance(a, dict):
+        assert sorted(a) == sorted(b), path
+        for k in a:
+            _assert_tree_equal(a[k], b[k], f"{path}/{k}")
+    elif isinstance(a, (list, tuple)):
+        assert type(a) is type(b) and len(a) == len(b), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _assert_tree_equal(x, y, f"{path}/{i}")
+    else:
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.dtype == b.dtype and a.shape == b.shape, path
+        assert np.array_equal(a, b), path
+
+
+def test_ckpt_golden_loads(tmp_path):
+    """Today's loader restores the pinned checkpoint to the exact tree
+    (full load AND per-leaf random access) — a reader-side format drift
+    fails here even if save/load drifted together."""
+    from entropy_coders_tpu import checkpoint as CK
+
+    case = _ckpt_case()
+    p = tmp_path / "golden.fsck"
+    p.write_bytes(_golden_bytes(case["name"]))
+    tree = _gg.make_ckpt_tree(case["input"]["seed"])
+    _assert_tree_equal(tree, CK.load_pytree(p))
+    with CK.Checkpoint(p) as ck:
+        assert "params/w" in ck.leaf_paths
+        np.testing.assert_array_equal(ck.load_leaf("params/w"),
+                                      tree["params"]["w"])
+
+
+def test_ckpt_golden_manifest_fuzz(tmp_path, rng):
+    """Byte corruption anywhere in the FSCK header or manifest region
+    never escapes the error contract: the loader either raises
+    ValueError/KeyError or returns a well-formed tree (possibly
+    different data — the manifest is not CRC-guarded; the frame payload
+    is, separately). No TypeError/IndexError/segfault from numpy or
+    json internals ever leaks (checkpoint._restore_leaf wraps them)."""
+    from entropy_coders_tpu import checkpoint as CK
+
+    case = _ckpt_case()
+    blob = bytearray(_golden_bytes(case["name"]))
+    (mlen,) = np.frombuffer(blob[8:12], "<u4")
+    region = 12 + int(mlen)  # header + manifest
+    tree = _gg.make_ckpt_tree(case["input"]["seed"])
+    p = tmp_path / "fuzz.fsck"
+    for pos in sorted(rng.choice(region, size=min(region, 48),
+                                 replace=False)):
+        for flip in (0x01, 0x80, 0xFF):
+            mut = bytearray(blob)
+            mut[pos] ^= flip
+            p.write_bytes(mut)
+            try:
+                out = CK.load_pytree(p)
+            except (ValueError, KeyError):
+                continue  # the corruption contract
+            # returned a tree: must be traversable; identical content is
+            # fine (the flip landed in a semantically-inert byte, e.g. a
+            # leaf path string — load() restores by skeleton indices)
+            try:
+                _assert_tree_equal(tree, out)
+            except AssertionError:
+                pass  # different data, well-formed — acceptable
