@@ -56,6 +56,17 @@ def main(argv=None) -> int:
     s = sub.add_parser("stat")
     s.add_argument("infile")
 
+    w = sub.add_parser(
+        "warmup",
+        help="pre-compile the shipping kernel shapes into the persistent "
+             "compilation cache (fresh-machine cold-start mitigation)")
+    w.add_argument("--mib", type=int, default=64,
+                   help="synthetic corpus size; 64 covers the chunked "
+                        "pipeline's full-chunk shape (default 64)")
+    w.add_argument("--block-size", type=int, default=None)
+    w.add_argument("--k", type=int, default=None)
+    w.add_argument("--table-log", default=None, type=_parse_table_log)
+
     args = p.parse_args(argv)
 
     import os
@@ -98,6 +109,40 @@ def main(argv=None) -> int:
         print(f"{n_in} -> {n_out} bytes "
               f"(ratio {n_out/max(n_in,1):.4f}) in {dt:.2f}s",
               file=sys.stderr)
+    elif args.cmd == "warmup":
+        import numpy as np
+
+        from .utils.cache import enable_compilation_cache
+
+        cache_dir = enable_compilation_cache()
+        kw = {}
+        if args.block_size:
+            kw["block_size"] = args.block_size
+        if args.k:
+            kw["k"] = args.k
+        if args.table_log:
+            kw["table_log"] = args.table_log
+        n = args.mib << 20
+        rng = np.random.default_rng(0xF5E)
+        # two corpora so BOTH encode-kernel variants compile: a
+        # small-alphabet one (symbols < 128 halve the transform gather
+        # rows — ops.pl_coder small-alpha fast path) and a full-alphabet
+        # one (text/binary inputs)
+        small = (rng.integers(0, 1 << 16, n, dtype=np.uint16)
+                 .astype(np.uint8) % 97)
+        # Zipf over the full byte range: all 256 symbols present, still
+        # compressible (uniform bytes would RAW-escape and compile nothing)
+        full = (rng.zipf(1.3, n) % 256).astype(np.uint8)
+        t0 = time.perf_counter()
+        for name, data in (("small-alpha", small), ("full-alpha", full)):
+            t1 = time.perf_counter()
+            comp = F.compress(data, **kw)
+            out = F.decompress(comp)
+            assert out == data.tobytes(), "warmup round trip failed"
+            print(f"warmup {name}: {args.mib} MiB round trip in "
+                  f"{time.perf_counter() - t1:.1f}s", file=sys.stderr)
+        print(f"warmup done in {time.perf_counter() - t0:.1f}s; "
+              f"persistent cache: {cache_dir}", file=sys.stderr)
     elif args.cmd == "decompress":
         from .stream import decompress_file
 
