@@ -67,6 +67,69 @@ def corpus(n: int, seed=2) -> bytes:
     return text.tobytes()
 
 
+def bf16_tensor_bytes(n: int, seed: int = 3) -> bytes:
+    """Model-state stand-in (the checkpoint.py domain): bf16 weights at
+    layer-realistic scales (per-tensor std sweeping 1e-3..1 like a real
+    parameter tree). High-entropy mantissa byte, compressible
+    exponent/sign byte."""
+    import ml_dtypes
+
+    rng = np.random.default_rng(seed)
+    out, m = [], 0
+    while m < n:
+        ln = int(rng.integers(64 << 10, 1 << 20))
+        std = 10.0 ** rng.uniform(-3, 0)
+        t = (rng.standard_normal(ln // 2) * std).astype(ml_dtypes.bfloat16)
+        b = t.tobytes()
+        out.append(b)
+        m += len(b)
+    return b"".join(out)[:n]
+
+
+def json_log_bytes(n: int, seed: int = 4) -> bytes:
+    """Structured-log stand-in: newline-delimited JSON records with
+    repeated keys, monotone timestamps, mixed numeric/string values."""
+    rng = np.random.default_rng(seed)
+    levels = ["INFO", "WARN", "ERROR", "DEBUG"]
+    hosts = [f"worker-{i:03d}" for i in range(32)]
+    out, m, ts = [], 0, 1_723_000_000.0
+    while m < n:
+        ts += float(rng.exponential(0.02))
+        rec = {
+            "ts": round(ts, 6),
+            "level": levels[int(rng.integers(0, 4))],
+            "host": hosts[int(rng.integers(0, 32))],
+            "step": int(rng.integers(0, 1 << 20)),
+            "loss": round(float(rng.gamma(2.0, 0.3)), 5),
+            "tokens_per_s": int(rng.integers(10_000, 500_000)),
+            "msg": "step completed" if rng.random() < 0.9
+                   else "retrying collective (transient ICI timeout)",
+        }
+        b = (json.dumps(rec, separators=(",", ":")) + "\n").encode()
+        out.append(b)
+        m += len(b)
+    return b"".join(out)[:n]
+
+
+def mixed_corpus(n: int, seed: int = 5) -> bytes:
+    """Deterministic mixed corpus (VERDICT r4 item 5): source text +
+    bf16 tensor bytes + JSON-log bytes in 1/3 shares, interleaved in
+    256 KiB stripes so every 16 MiB bench block sees all three."""
+    third = n // 3
+    parts = [np.frombuffer(corpus(third, seed), np.uint8),
+             np.frombuffer(bf16_tensor_bytes(third, seed + 1), np.uint8),
+             np.frombuffer(json_log_bytes(n - 2 * third, seed + 2),
+                           np.uint8)]
+    stripe = 256 << 10
+    out, idx = [], [0, 0, 0]
+    while sum(idx) < n:
+        for j, p in enumerate(parts):
+            if idx[j] < len(p):
+                out.append(p[idx[j]: idx[j] + stripe])
+                idx[j] += stripe
+    return b"".join(x.tobytes() for x in out)[:n]
+
+
 def _sync(r):
     import jax
     np.asarray(jax.tree.leaves(r)[0].ravel()[0:1])
@@ -247,13 +310,51 @@ def config5():
                       "(tests/test_multihost.py, parallel.multihost)"}
 
 
+def config6(on_tpu: bool):
+    """Corpus-diversity report (VERDICT r4 item 5): ratio per corpus at
+    the two shipping operating points — the throughput headline (16 MiB
+    blocks, k=16384, L=8) and the size-parity point (k=8192, L=11,
+    bit-packed) — so the ratio claims rest on more than one synthetic
+    distribution. 32 MiB per corpus, deterministic builders above."""
+    from bench import gen_sequence
+    from entropy_coders_tpu import frame as F
+
+    n = 32 << 20
+    names = {
+        "geo(bench)": gen_sequence(0.2, n).tobytes(),
+        "text": corpus(n),
+        "bf16": bf16_tensor_bytes(n),
+        "jsonlog": json_log_bytes(n),
+        "mixed": mixed_corpus(n),
+    }
+    bs = 16 << 20
+    rows = {}
+    for name, data in names.items():
+        c_thr = F.compress(data, block_size=bs, k=16384, table_log=8,
+                           lanes=on_tpu, interpret=not on_tpu)
+        c_par = F.compress(data, block_size=bs, k=8192, table_log=11,
+                           bit_pack=True, lanes=on_tpu,
+                           interpret=not on_tpu)
+        assert F.decompress(c_thr, interpret=not on_tpu) == data
+        assert F.decompress(c_par, interpret=not on_tpu) == data
+        row = {"ratio_throughput_L8": round(len(c_thr) / n, 4),
+               "ratio_parity_L11_packed": round(len(c_par) / n, 4)}
+        if on_tpu:
+            row["device_decode_GBps_L8"] = round(
+                _device_decode_gbps(c_thr, bs, 16384), 2)
+        rows[name] = row
+    return {"config": 6, "workload": "corpus diversity, 32MiB each",
+            "corpora": rows}
+
+
 def main():
     import jax
     on_tpu = jax.default_backend() == "tpu"
-    which = [int(x) for x in sys.argv[1:]] or [1, 2, 3, 4, 5]
+    which = [int(x) for x in sys.argv[1:]] or [1, 2, 3, 4, 5, 6]
     for i in which:
         fn = {1: config1, 2: config2, 3: lambda: config3(on_tpu),
-              4: lambda: config4(on_tpu), 5: config5}[i]
+              4: lambda: config4(on_tpu), 5: config5,
+              6: lambda: config6(on_tpu)}[i]
         t0 = time.perf_counter()
         res = fn()
         res["wall_s"] = round(time.perf_counter() - t0, 1)

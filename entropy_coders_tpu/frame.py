@@ -117,9 +117,18 @@ def _pl_eligible(block_size: int, k: int, log2: int) -> bool:
     return 5 <= log2 <= 15
 
 
-PL_TABLE_LOG = 10  # flagship default: decode cost scales with 2^L/128
-                   # in-kernel gathers; 10 costs ~0.1% ratio vs 11 on the
-                   # bench distribution for ~1.5x the decode speed
+# Flagship default policy for the per-lane path, decided by measurement
+# (policy_sweep.py, round 5 — table in PERF.md "default policy sweep"):
+# per block, start from the reference's ratio-optimal ``optimal_log2``
+# (src/histogram.rs:264-277) and take the smallest table log whose
+# estimated coded size stays within 0.25% (normalize.fast_log2s).
+# Decode cost scales with the 2^L/128 in-kernel gathers, so each -1 of
+# log is ~1.4-2x decode throughput; on the four sweep corpora this
+# policy beat the previous fixed L=10 default on BOTH axes for three
+# corpora (text: -1.1% size; bf16: -0.9% size at 1.4x speed; jsonlog:
+# -0.1% size at 1.4x speed) and tied it on the fourth (geo). The
+# non-lanes (shared-stream) path keeps the reference's fixed default.
+PL_TABLE_LOG = ("fast", 0.0025)
 
 
 def resolve_shared_table(counts_all, total_len: int, table_log, lanes):
@@ -170,16 +179,17 @@ def compress(
 
     ``lanes`` selects the per-lane-stream block mode (MODE_FSE_PL, Pallas
     TPU kernels): None = auto (on TPU backends when eligible), True/False
-    to force. ``table_log`` defaults to PL_TABLE_LOG on the lanes path and
-    TABLE_LOG_DEFAULT otherwise; ``"auto"`` applies the reference's
-    per-block ``optimal_log2`` policy (src/histogram.rs:264-277) — each
+    to force. ``table_log`` defaults to PL_TABLE_LOG — the measured
+    ``("fast", 0.0025)`` policy — on the lanes path and TABLE_LOG_DEFAULT
+    otherwise; ``"auto"`` applies the reference's per-block
+    ``optimal_log2`` policy (src/histogram.rs:264-277) — each
     block gets its own log, and blocks group by (len, log) for the
     batched kernels. ``"fast"`` biases per-block logs toward decode
     throughput: the smallest log whose estimated coded size stays
-    within 0.5% of the auto choice's (decode speed ~doubles per -1 log
-    — normalize.fast_log2s, PERF.md); ``("fast", eps)`` sets that size
-    budget explicitly (e.g. 0.015 admits the L=8 throughput-max point
-    on the bench distribution). ``interpret`` runs the Pallas kernels in
+    within 0.5% of the auto choice's (decode speed roughly doubles per
+    -1 log — normalize.fast_log2s, PERF.md); ``("fast", eps)`` sets that
+    size budget explicitly (e.g. 0.015 admits the L=8 throughput-max
+    point on the bench distribution; the default policy uses 0.0025). ``interpret`` runs the Pallas kernels in
     interpreter mode (for CPU testing). ``checksum`` appends a per-block
     crc32 table, verified on decompress (the reference format has no
     integrity checking — corruption decodes to garbage silently).

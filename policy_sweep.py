@@ -36,51 +36,8 @@ from entropy_coders_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache("/tmp/jax_bench_cache")
 
 from bench import gen_sequence  # noqa: E402
-from bench_configs import _device_decode_gbps, corpus  # noqa: E402
-
-
-def bf16_tensor_bytes(n: int, seed: int = 3) -> bytes:
-    """Model-state stand-in: bf16 weights at layer-realistic scales
-    (truncated-normal-ish, per-tensor std sweeping 1e-3..1 like a real
-    parameter tree). High-entropy mantissa byte, compressible
-    exponent/sign byte."""
-    import ml_dtypes
-
-    rng = np.random.default_rng(seed)
-    out, m = [], 0
-    while m < n:
-        ln = int(rng.integers(64 << 10, 1 << 20))
-        std = 10.0 ** rng.uniform(-3, 0)
-        t = (rng.standard_normal(ln // 2) * std).astype(ml_dtypes.bfloat16)
-        b = t.tobytes()
-        out.append(b)
-        m += len(b)
-    return b"".join(out)[:n]
-
-
-def json_log_bytes(n: int, seed: int = 4) -> bytes:
-    """Structured-log stand-in: newline-delimited JSON records with
-    repeated keys, monotone timestamps, mixed numeric/string values."""
-    rng = np.random.default_rng(seed)
-    levels = ["INFO", "WARN", "ERROR", "DEBUG"]
-    hosts = [f"worker-{i:03d}" for i in range(32)]
-    out, m, ts = [], 0, 1_723_000_000.0
-    while m < n:
-        ts += float(rng.exponential(0.02))
-        rec = {
-            "ts": round(ts, 6),
-            "level": levels[int(rng.integers(0, 4))],
-            "host": hosts[int(rng.integers(0, 32))],
-            "step": int(rng.integers(0, 1 << 20)),
-            "loss": round(float(rng.gamma(2.0, 0.3)), 5),
-            "tokens_per_s": int(rng.integers(10_000, 500_000)),
-            "msg": "step completed" if rng.random() < 0.9
-                   else "retrying collective (transient ICI timeout)",
-        }
-        b = (json.dumps(rec, separators=(",", ":")) + "\n").encode()
-        out.append(b)
-        m += len(b)
-    return b"".join(out)[:n]
+from bench_configs import (_device_decode_gbps, bf16_tensor_bytes,  # noqa: E402
+                           corpus, json_log_bytes)
 
 
 CONFIGS = {

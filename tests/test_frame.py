@@ -138,7 +138,10 @@ def test_range_outside_frame_raises(rng):
 def test_auto_table_log_mixed_corpus(rng):
     """table_log="auto" (the reference's per-block optimal_log2 policy,
     src/histogram.rs:264-277) round-trips heterogeneous logs in one frame
-    and beats the fixed default ratio on mixed-entropy data."""
+    and beats a FIXED log-10 ratio on mixed-entropy data. (Compared
+    against an explicit 10, not the library default: since round 5 the
+    default is the measured ("fast", 0.0025) policy, which is allowed to
+    beat auto — smaller logs shrink headers at small block sizes.)"""
     parts = [
         rng.integers(0, 4, 1 << 12).astype(np.uint8),
         rng.integers(0, 256, 1 << 12, dtype=np.uint8),
@@ -151,10 +154,17 @@ def test_auto_table_log_mixed_corpus(rng):
         auto = F.compress(data, block_size=1 << 12, k=16, lanes=lanes,
                           table_log="auto", interpret=True)
         fixed = F.compress(data, block_size=1 << 12, k=16, lanes=lanes,
-                           interpret=True)
+                           table_log=10, interpret=True)
+        default = F.compress(data, block_size=1 << 12, k=16, lanes=lanes,
+                             interpret=True)
         out = F.decompress(auto, interpret=True)
         np.testing.assert_array_equal(np.frombuffer(out, np.uint8), data)
         assert len(auto) <= len(fixed)
+        # the default policy's budget bounds its size vs auto: within
+        # 0.25% estimated, so comfortably within 1% actual here
+        out = F.decompress(default, interpret=True)
+        np.testing.assert_array_equal(np.frombuffer(out, np.uint8), data)
+        assert len(default) <= len(auto) * 1.01
 
 
 def test_auto_table_log_matches_spec_choice(rng):
