@@ -17,13 +17,17 @@ WORDS is the honest device-side candidate (VERDICT r4 item 4):
   shift-combine.
 
 Both are word-granular (32-bit pieces), not byte-granular — the unit the
-VPU actually moves. What the measurement showed on the real chip (see
-PERF.md "device-side lane merge, measured"): XLA lowers the scatter-add
-to a serial per-element loop on TPU (it cannot prove the index pairs
-disjoint), and the gather side, while parallel, still costs more than
-the overlapped host repack at the shipping block sizes. The module stays
-as the measured negative result + CPU-verified reference formulation;
-``frame`` keeps the host path.
+VPU actually moves. Measured on the real chip (round 5, shipping shape:
+8x 16 MiB blocks, k=16384, L=8, 61.4 MB wire; PERF.md "device-side lane
+merge — measured"): device merge 0.17 GB/s, device split 0.19 GB/s,
+bytes exact — vs 0.50 / 0.32 GB/s for the single-core host OpenMP
+repack on the same payloads (0.59 byte-aligned). XLA's TPU scatter-add
+serializes (it cannot prove the duplicate-index adds disjoint) and the
+computed-index gather fares no better; the host path also scales with
+cores while this cannot, so the host repack stays (frame keeps it).
+The module remains as the measured negative result, with CPU-verified
+byte-exactness tests (tests/test_device_repack.py) so the formulation
+is re-runnable when a future XLA changes the scatter lowering.
 """
 
 from __future__ import annotations
