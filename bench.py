@@ -34,17 +34,15 @@ import os
 import sys
 import time
 
-# kept for subprocess probes; the authoritative enablement is the
-# jax.config.update in utils/cache.py (env vars silently no-op when the
-# harness preloads jax before this script runs)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_bench_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 import numpy as np
 
 from entropy_coders_tpu.utils.cache import enable_compilation_cache
 
-enable_compilation_cache("/tmp/jax_bench_cache")
+# the library-default cache dir (utils/cache.py), NOT a bench-private
+# one: `python -m entropy_coders_tpu warmup` and real library use must
+# share the bench's compiled kernels (a private dir made every bench
+# process recompile shapes warmup had already paid for — round 5)
+enable_compilation_cache()
 
 PER_CHIP_TARGET = 10e9 / 16  # bytes/s
 

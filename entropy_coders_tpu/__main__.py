@@ -5,6 +5,7 @@ Usage:
         [--k N] [--table-log N|auto] [--shared-table] [--no-lanes]
     python -m entropy_coders_tpu decompress <in> <out>
     python -m entropy_coders_tpu stat       <in>
+    python -m entropy_coders_tpu warmup    [--mib N] [--table-log N]
 
 The reference is a library only; this CLI is the framework's end-to-end
 driver for real files (and doubles as a smoke test on any backend — on
@@ -120,27 +121,31 @@ def main(argv=None) -> int:
             kw["block_size"] = args.block_size
         if args.k:
             kw["k"] = args.k
-        if args.table_log:
-            kw["table_log"] = args.table_log
         n = args.mib << 20
         rng = np.random.default_rng(0xF5E)
         # two corpora so BOTH encode-kernel variants compile: a
         # small-alphabet one (symbols < 128 halve the transform gather
         # rows — ops.pl_coder small-alpha fast path) and a full-alphabet
-        # one (text/binary inputs)
+        # one (text/binary inputs). Zipf keeps all 256 symbols present
+        # yet compressible (uniform bytes would RAW-escape and compile
+        # nothing).
         small = (rng.integers(0, 1 << 16, n, dtype=np.uint16)
                  .astype(np.uint8) % 97)
-        # Zipf over the full byte range: all 256 symbols present, still
-        # compressible (uniform bytes would RAW-escape and compile nothing)
         full = (rng.zipf(1.3, n) % 256).astype(np.uint8)
+        # kernel compiles are per table_log: cover the logs the default
+        # ("fast", 0.0025) policy actually lands on across corpora
+        # (PERF.md sweep: 8..11), or just the one the user pinned
+        logs = [args.table_log] if args.table_log else [8, 9, 10, 11]
         t0 = time.perf_counter()
         for name, data in (("small-alpha", small), ("full-alpha", full)):
-            t1 = time.perf_counter()
-            comp = F.compress(data, **kw)
-            out = F.decompress(comp)
-            assert out == data.tobytes(), "warmup round trip failed"
-            print(f"warmup {name}: {args.mib} MiB round trip in "
-                  f"{time.perf_counter() - t1:.1f}s", file=sys.stderr)
+            for L in logs:
+                t1 = time.perf_counter()
+                comp = F.compress(data, table_log=L, **kw)
+                out = F.decompress(comp)
+                assert out == data.tobytes(), "warmup round trip failed"
+                print(f"warmup {name} L={L}: {args.mib} MiB round trip "
+                      f"in {time.perf_counter() - t1:.1f}s",
+                      file=sys.stderr)
         print(f"warmup done in {time.perf_counter() - t0:.1f}s; "
               f"persistent cache: {cache_dir}", file=sys.stderr)
     elif args.cmd == "decompress":

@@ -33,7 +33,7 @@ import numpy as np
 
 from entropy_coders_tpu.utils.cache import enable_compilation_cache
 
-enable_compilation_cache("/tmp/jax_bench_cache")
+enable_compilation_cache()
 
 from bench import gen_sequence  # noqa: E402
 from bench_configs import (_device_decode_gbps, bf16_tensor_bytes,  # noqa: E402

@@ -167,6 +167,23 @@ def test_auto_table_log_mixed_corpus(rng):
         assert len(default) <= len(auto) * 1.01
 
 
+def test_default_policy_is_fast_p25(rng):
+    """The lanes-path default table_log is the measured ("fast", 0.0025)
+    policy (round-5 decision, PERF.md "default policy sweep") — pinned
+    so a future default change is deliberate, not drift."""
+    assert F.PL_TABLE_LOG == ("fast", 0.0025)
+    data = np.concatenate([
+        gen_sequence(0.3, 1 << 14),
+        rng.integers(0, 64, 1 << 14).astype(np.uint8),
+    ])
+    default = F.compress(data, block_size=1 << 13, k=64, lanes=True,
+                         interpret=True)
+    explicit = F.compress(data, block_size=1 << 13, k=64, lanes=True,
+                          table_log=("fast", 0.0025), interpret=True)
+    assert default == explicit
+    assert F.decompress(default, interpret=True) == data.tobytes()
+
+
 def test_auto_table_log_matches_spec_choice(rng):
     """Every FSE block in an auto frame carries exactly the log the
     reference's Histogram::optimal_log2 would pick for that block."""

@@ -17,7 +17,7 @@ import numpy as np
 
 sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__file__), ".."))
 from entropy_coders_tpu.utils.cache import enable_compilation_cache
-enable_compilation_cache("/tmp/jax_bench_cache")
+enable_compilation_cache()
 
 import jax
 import jax.numpy as jnp
