@@ -167,9 +167,11 @@ def _measure_decode(comp, size, block_size, k, on_tpu, batches=5):
     sizes, payloads, norm_tables, L, packed = _parse_pl_frame(
         comp, block_size, k)
     R = block_size // k - 1
+    small = L <= 8 and not norm_tables[:, 128:].any()
     tbls = [PL.decode_table_rows(
         DecodeTable(NormHistogram(norm_tables[j], L,
-                                  F._tl(norm_tables[j]))).packed, L)
+                                  F._tl(norm_tables[j]))).packed, L,
+        small)
             for j in range(len(payloads))]
     B = len(payloads)
     W = -(-(int(sizes.max()) // 32 + 3) // 16) * 16

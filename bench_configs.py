@@ -148,7 +148,7 @@ def _device_decode_gbps(comp: bytes, block_size: int, k: int) -> float:
     idx = [j for j in range(pf.n_blocks) if pf.modes[j] == F.MODE_FSE_PL]
     B = len(idx)
     shared_norm = NormHistogram.read(pf.shared_hdr)[0] if pf.shared else None
-    sizes_list, words_list, tbls, L = [], [], [], None
+    sizes_list, words_list, norms, L = [], [], [], None
     for j in idx:
         if pf.shared:
             norm, sec = shared_norm, pf.section(j)
@@ -162,7 +162,10 @@ def _device_decode_gbps(comp: bytes, block_size: int, k: int) -> float:
         w, _ = PL.lane_split(sec[2 * k:], sz, k)
         sizes_list.append(sz)
         words_list.append(w)
-        tbls.append(PL.decode_table_rows(DecodeTable(norm).packed, L))
+        norms.append(norm)
+    small = L <= 8 and all(n.table_len <= 128 for n in norms)
+    tbls = [PL.decode_table_rows(DecodeTable(n).packed, L, small)
+            for n in norms]
     sizes = np.stack(sizes_list)
     B = len(words_list)
     W = -(-max(w.shape[0] for w in words_list) // 16) * 16

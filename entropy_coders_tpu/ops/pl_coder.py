@@ -125,15 +125,23 @@ def pack_enc_table_rows(table, tt_bits, tt_fs, L: int, small: bool = False):
     return symt, stt
 
 
-def decode_table_rows(packed: np.ndarray, L: int) -> np.ndarray:
+def decode_table_rows(packed: np.ndarray, L: int,
+                      small: bool = False) -> np.ndarray:
     """Decode-table entries (2^L,) u32 (sym<<24|nb<<16|base) -> gather
     rows for the decode kernel. For L <= 12 the entries split into
     (nb<<12|base) u16 PAIRS and sym QUADS packed per i32 word — 3/4 the
     gather rows of the flat layout (nb <= 12 fits 4 bits, base < 2^12);
     above L=12 base needs more bits and the flat one-entry-per-word
-    layout is used. Thin per-block wrapper over the batched
+    layout is used. ``small`` (L <= 8 AND every coded symbol < 128):
+    the u-packed layout — sym(7b) | u(L+1 b) u16 pairs where
+    u = (base + 2^L) >> nb is the spread-source state, from which the
+    kernel recomputes nb = L - ilog2(u) and base = (u << nb) - 2^L —
+    HALVES the gather rows (1 row at L=8; measured 63.8 -> 74.9 GB/s
+    on the bench shape, round 5). Callers must apply one batch-wide
+    ``small`` to every block of a fused/batched call (the layouts have
+    different shapes). Thin per-block wrapper over the batched
     ``_dec_rows_np`` (the single normative host copy)."""
-    return _dec_rows_np(np.asarray(packed)[None], L)[0]
+    return _dec_rows_np(np.asarray(packed)[None], L, small)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -247,9 +255,25 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
         return words_ref[0].reshape(W // 8, 8, S, 128)
 
     def _entry(states):
-        """(nb, base, sym) for each lane's state. L <= 12 uses the split
-        pair/quad table layout (decode_table_rows): (nb<<12|base) u16
-        pairs then sym quads — 3/4 the gather rows of the flat form."""
+        """(nb, base, sym) for each lane's state. hi_n == 1 at L <= 8 is
+        the u-packed small-alphabet layout (decode_table_rows ``small``):
+        sym(7b)|u(L+1 b) u16 pairs, ONE gather row — nb and base are
+        recomputed from the spread-source state u (nb = L - ilog2(u) via
+        the f32 exponent, exact for u < 2^24; base = (u << nb) - 2^L).
+        L <= 12 otherwise uses the split pair/quad table layout:
+        (nb<<12|base) u16 pairs then sym quads — 3/4 the gather rows of
+        the flat form."""
+        if L <= 8 and hi_n == 1:
+            v = _gather_rows(tbl, _shr_u(states, 1), 1, S)
+            half = jnp.where((states & 1) == 1, _shr_u(v, 16),
+                             v & 0xFFFF)
+            sym = _shr_u(half, L + 1)
+            u = half & ((2 << L) - 1)
+            e = _shr_u(lax.bitcast_convert_type(
+                u.astype(jnp.float32), jnp.int32), 23) - 127
+            nb = L - e
+            base = lax.shift_left(u, nb) - (1 << L)
+            return nb, base, sym
         if L <= 12:
             h2 = max((1 << L) // 256, 1)
             h4 = max((1 << L) // 512, 1)
@@ -506,13 +530,26 @@ def _stt_rows_np(table) -> np.ndarray:
     return _rows_np(t64[:, 0::2] | (t64[:, 1::2] << 16))
 
 
-def _dec_rows_np(packed: np.ndarray, L: int) -> np.ndarray:
+def _dec_rows_np(packed: np.ndarray, L: int,
+                 small: bool = False) -> np.ndarray:
     """Batched host analog of decode_table_rows: (B, 2^L) u32 packed
-    entries -> (B, rows, 128) int32 gather rows (split pair/quad layout
-    for L <= 12, flat above)."""
+    entries -> (B, rows, 128) int32 gather rows (u-packed for L <= 8
+    small alphabets, split pair/quad layout for L <= 12, flat above)."""
     pk = packed.astype(np.int64)
     if L > 12:
         return _rows_np(pk)
+    if small and L <= 8:
+        nb = (pk >> 16) & 0xFF
+        base = pk & 0xFFFF
+        u = (base + (1 << L)) >> nb
+        # structural invariants of the tANS table (reference
+        # src/fse.rs:269-338): base = (u << nb) - 2^L for the unique
+        # spread-source state u in [1, 2^(L+1)); syms < 128 is the
+        # caller's small-alphabet guarantee
+        assert ((u << nb) == base + (1 << L)).all() and (u >= 1).all()
+        assert (pk >> 24).max() < 128
+        half = ((pk >> 24) << (L + 1)) | u
+        return _rows_np(half[:, 0::2] | (half[:, 1::2] << 16))
     nbns = (((pk >> 16) & 0xFF) << 12) | (pk & 0xFFF)
     pairs = nbns[:, 0::2] | (nbns[:, 1::2] << 16)
     sym = pk >> 24
@@ -755,14 +792,24 @@ def _decode_fused(words, sizes, tblf, *, k, L, R, F, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "L", "R", "F",
-                                              "interpret"))
-def _decode_e2e(words, sizes, norm_tables, *, k, L, R, F, interpret):
+                                              "interpret", "small"))
+def _decode_e2e(words, sizes, norm_tables, *, k, L, R, F, interpret,
+                small=False):
     """Lane words + normalized histograms -> decoded symbols, fully on
-    device (batched decode-table build + fusion + the Pallas kernel)."""
+    device (batched decode-table build + fusion + the Pallas kernel).
+    ``small``: batch-wide small-alphabet guarantee (u-packed layout at
+    L <= 8 — see decode_table_rows)."""
     packed = jax.vmap(functools.partial(build_decode_table, log2=L))(
         norm_tables.astype(jnp.int32))
     pk = lax.bitcast_convert_type(packed, jnp.int32)
-    if L <= 12:  # split pair/quad layout (see decode_table_rows)
+    if small and L <= 8:  # u-packed layout (see decode_table_rows)
+        nb = _shr_u(pk, 16) & 0xFF
+        base = pk & 0xFFFF
+        u = _shr_u(base + (1 << L), nb)
+        half = lax.shift_left(_shr_u(pk, 24), L + 1) | u
+        rows = _rows_dev(half[:, 0::2] | lax.shift_left(half[:, 1::2],
+                                                        16))
+    elif L <= 12:  # split pair/quad layout (see decode_table_rows)
         nbns = (lax.shift_left(_shr_u(pk, 16) & 0xFF, 12)) | (pk & 0xFFF)
         pairs = nbns[:, 0::2] | lax.shift_left(nbns[:, 1::2], 16)
         sym = _shr_u(pk, 24)
@@ -826,7 +873,12 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
     pad = _cdiv(Bp, quantum) * quantum - B
     if pad:  # pad with copies of block 0 (results discarded)
         nt = np.concatenate([nt, np.repeat(nt[:1], pad, 0)])
-    rows_np = (_dec_rows_np(native.build_decode_tables(nt, L), L)
+    # batch-wide small-alphabet detection (count 0 above 127 <=> the
+    # symbol never appears — a normalization invariant, mirrored from
+    # encode_lanes_norm): u-packed decode rows at L <= 8 halve the
+    # per-round gather count (decode_table_rows ``small``)
+    small = L <= 8 and not nt[:, 128:].any()
+    rows_np = (_dec_rows_np(native.build_decode_tables(nt, L), L, small)
                if host_tables else None)
 
     if host_tables and F == 1 and isinstance(words, np.ndarray):
@@ -878,7 +930,7 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
         tbl_arg = jnp.asarray(rows_np)
     else:
         call = functools.partial(_decode_e2e, k=k, L=L, R=R, F=F,
-                                 interpret=interpret)
+                                 interpret=interpret, small=small)
         tbl_arg = jnp.asarray(nt)
     if mesh is not None:
         from jax.sharding import PartitionSpec
@@ -927,7 +979,14 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
     interpret = interpret or jax.default_backend() != "tpu"
 
     F = _fuse_factor(B, k, mesh)
-    rows_list = [decode_table_rows(packed_tables[b], L) for b in range(B)]
+    # batch-wide small-alphabet detection from the packed entries (the
+    # sym byte enumerates exactly the alphabet in use): u-packed rows
+    # at L <= 8 halve the per-round gathers (decode_table_rows)
+    small = L <= 8 and all(
+        int(np.asarray(packed_tables[b], np.uint32).max() >> 24) < 128
+        for b in range(B))
+    rows_list = [decode_table_rows(packed_tables[b], L, small)
+                 for b in range(B)]
     if B % F:  # pad with copies of block 0 (results discarded)
         pad = F - B % F
         words = np.concatenate([words, words[:1].repeat(pad, 0)])

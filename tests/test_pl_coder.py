@@ -213,6 +213,47 @@ def test_small_alphabet_fast_path_bit_exact():
             sizes[b])
 
 
+@pytest.mark.parametrize("L", [5, 7, 8])
+def test_upacked_decode_rows_bit_exact(L):
+    """The u-packed small-alphabet decode layout (L <= 8: sym|u u16
+    pairs, ONE gather row, nb/base recomputed from the spread-source
+    state u in-kernel — decode_table_rows ``small``) decodes
+    bit-exactly vs the spec oracle and vs the split pair/quad layout,
+    through decode_lanes (auto-detected), both decode_lanes_norm table
+    routes, and the frame path."""
+    B, k, Q = 2, 256, 9
+    rng = np.random.default_rng(900 + L)
+    datas = [rng.integers(0, 6, k * Q, dtype=np.uint8) for _ in range(B)]
+    hists = [Histogram(d).normalize(L) for d in datas]
+    assert all(h.log2 == L for h in hists)
+    _, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
+    R = Q - 1
+    # layout check: u-packed rows are half the split layout's
+    small_rows = PL.decode_table_rows(packs[0], L, small=True)
+    split_rows = PL.decode_table_rows(packs[0], L, small=False)
+    assert small_rows.shape[0] * 2 == split_rows.shape[0] * 1 or \
+        small_rows.shape[0] == 1  # 1 vs 2 rows for every L <= 8
+    # decode_lanes auto-detects small from the packed syms
+    syms, finals = PL.decode_lanes(words, sizes, packs, k=k, L=L, R=R,
+                                   interpret=True)
+    for b in range(B):
+        got = np.concatenate([syms[b].reshape(-1), finals[b]])
+        np.testing.assert_array_equal(got, datas[b])
+    norm_tables = np.stack([np.asarray(h.table, np.int32) for h in hists])
+    for ht in (True, False):
+        s2, f2 = PL.decode_lanes_norm(words, sizes, norm_tables, k=k,
+                                      L=L, R=R, interpret=True,
+                                      host_tables=ht)
+        np.testing.assert_array_equal(s2, np.asarray(syms))
+        np.testing.assert_array_equal(f2, np.asarray(finals))
+    # frame path end to end at the forced log
+    from entropy_coders_tpu import frame as F
+    data = np.concatenate(datas)
+    comp = F.compress(data, block_size=k * Q, k=k, table_log=L,
+                      lanes=True, interpret=True)
+    assert F.decompress(comp, interpret=True) == data.tobytes()
+
+
 @pytest.mark.parametrize("L", [11, 13])
 def test_small_alphabet_fast_path_high_logs(L):
     """Small-alphabet packing at the mid (packed-word) and two-plane
