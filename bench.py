@@ -167,7 +167,7 @@ def _measure_decode(comp, size, block_size, k, on_tpu, batches=5):
     sizes, payloads, norm_tables, L, packed = _parse_pl_frame(
         comp, block_size, k)
     R = block_size // k - 1
-    small = L <= 8 and not norm_tables[:, 128:].any()
+    small = PL.upack_ok(norm_tables, L)
     tbls = [PL.decode_table_rows(
         DecodeTable(NormHistogram(norm_tables[j], L,
                                   F._tl(norm_tables[j]))).packed, L,

@@ -163,9 +163,9 @@ def _device_decode_gbps(comp: bytes, block_size: int, k: int) -> float:
         sizes_list.append(sz)
         words_list.append(w)
         norms.append(norm)
-    small = L <= 8 and all(n.table_len <= 128 for n in norms)
-    tbls = [PL.decode_table_rows(DecodeTable(n).packed, L, small)
-            for n in norms]
+    packs = [DecodeTable(n).packed for n in norms]
+    small = PL.upack_ok_packed(packs, L)
+    tbls = [PL.decode_table_rows(p, L, small) for p in packs]
     sizes = np.stack(sizes_list)
     B = len(words_list)
     W = -(-max(w.shape[0] for w in words_list) // 16) * 16

@@ -55,6 +55,8 @@ __all__ = [
     "lane_merge",
     "lane_split_bits",
     "lane_merge_bits",
+    "upack_ok",
+    "upack_ok_packed",
 ]
 
 def _pick_e(L: int) -> int:
@@ -125,6 +127,35 @@ def pack_enc_table_rows(table, tt_bits, tt_fs, L: int, small: bool = False):
     return symt, stt
 
 
+def upack_ok(norm_tables: np.ndarray, L: int) -> bool:
+    """Batch-wide eligibility for the u-packed decode layout
+    (decode_table_rows ``small``): L <= 9, every coded symbol < 128
+    (count 0 above 127), and at L=9 no symbol holding more than half
+    the table (max count <= 2^(L-1) <=> every entry's nb >= 1 <=> u
+    fits 9 bits). At L <= 8 the symbol bound is structurally guaranteed
+    by the reference's table_len clamp (an alphabet needing more would
+    re-clamp the log to >= 9 — src/histogram.rs:96-98) and u <= 511
+    always, so this returns True for every valid L <= 8 batch."""
+    nt = np.asarray(norm_tables)
+    if L > 9 or nt[:, 128:].any():
+        return False
+    return L <= 8 or int(nt.max()) <= (1 << (L - 1))
+
+
+def upack_ok_packed(packed_tables, L: int) -> bool:
+    """``upack_ok`` from packed decode tables (sym<<24|nb<<16|base):
+    syms < 128 and, at L=9, nb >= 1 for every entry."""
+    if L > 9:
+        return False
+    for p in packed_tables:
+        pk = np.asarray(p, np.uint32)
+        if int(pk.max() >> 24) >= 128:
+            return False
+        if L == 9 and int(((pk >> 16) & 0xFF).min()) < 1:
+            return False
+    return True
+
+
 def decode_table_rows(packed: np.ndarray, L: int,
                       small: bool = False) -> np.ndarray:
     """Decode-table entries (2^L,) u32 (sym<<24|nb<<16|base) -> gather
@@ -132,12 +163,13 @@ def decode_table_rows(packed: np.ndarray, L: int,
     (nb<<12|base) u16 PAIRS and sym QUADS packed per i32 word — 3/4 the
     gather rows of the flat layout (nb <= 12 fits 4 bits, base < 2^12);
     above L=12 base needs more bits and the flat one-entry-per-word
-    layout is used. ``small`` (L <= 8 AND every coded symbol < 128):
-    the u-packed layout — sym(7b) | u(L+1 b) u16 pairs where
+    layout is used. ``small`` (u-pack eligibility, see ``upack_ok``):
+    the u-packed layout — sym(7b) | u(9b) u16 pairs where
     u = (base + 2^L) >> nb is the spread-source state, from which the
     kernel recomputes nb = L - ilog2(u) and base = (u << nb) - 2^L —
-    HALVES the gather rows (1 row at L=8; measured 63.8 -> 74.9 GB/s
-    on the bench shape, round 5). Callers must apply one batch-wide
+    HALVES the gather rows vs the split layout for every L <= 9 (1 row
+    at L=8: measured 63.8 -> 74.9 GB/s on the bench shape; 2 rows at
+    L=9, round 5). Callers must apply one batch-wide
     ``small`` to every block of a fused/batched call (the layouts have
     different shapes). Thin per-block wrapper over the batched
     ``_dec_rows_np`` (the single normative host copy)."""
@@ -255,20 +287,21 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
         return words_ref[0].reshape(W // 8, 8, S, 128)
 
     def _entry(states):
-        """(nb, base, sym) for each lane's state. hi_n == 1 at L <= 8 is
-        the u-packed small-alphabet layout (decode_table_rows ``small``):
-        sym(7b)|u(L+1 b) u16 pairs, ONE gather row — nb and base are
-        recomputed from the spread-source state u (nb = L - ilog2(u) via
-        the f32 exponent, exact for u < 2^24; base = (u << nb) - 2^L).
-        L <= 12 otherwise uses the split pair/quad table layout:
-        (nb<<12|base) u16 pairs then sym quads — 3/4 the gather rows of
-        the flat form."""
-        if L <= 8 and hi_n == 1:
-            v = _gather_rows(tbl, _shr_u(states, 1), 1, S)
+        """(nb, base, sym) for each lane's state. hi_n == 2^L/256 rows
+        at L <= 9 is the u-packed layout (decode_table_rows ``small`` /
+        ``upack_ok``): sym(7b)|u(9b) u16 pairs at HALF the split
+        layout's gather rows — nb and base are recomputed from the
+        spread-source state u (nb = L - ilog2(u) via the f32 exponent,
+        exact for u < 2^24; base = (u << nb) - 2^L). L <= 12 otherwise
+        uses the split pair/quad table layout: (nb<<12|base) u16 pairs
+        then sym quads — 3/4 the gather rows of the flat form."""
+        hu = max((1 << L) // 256, 1)
+        if L <= 9 and hi_n == hu:
+            v = _gather_rows(tbl, _shr_u(states, 1), hu, S)
             half = jnp.where((states & 1) == 1, _shr_u(v, 16),
                              v & 0xFFFF)
-            sym = _shr_u(half, L + 1)
-            u = half & ((2 << L) - 1)
+            sym = _shr_u(half, 9)
+            u = half & 0x1FF
             e = _shr_u(lax.bitcast_convert_type(
                 u.astype(jnp.float32), jnp.int32), 23) - 127
             nb = L - e
@@ -533,22 +566,25 @@ def _stt_rows_np(table) -> np.ndarray:
 def _dec_rows_np(packed: np.ndarray, L: int,
                  small: bool = False) -> np.ndarray:
     """Batched host analog of decode_table_rows: (B, 2^L) u32 packed
-    entries -> (B, rows, 128) int32 gather rows (u-packed for L <= 8
-    small alphabets, split pair/quad layout for L <= 12, flat above)."""
+    entries -> (B, rows, 128) int32 gather rows (u-packed for
+    upack_ok batches at L <= 9, split pair/quad layout for L <= 12,
+    flat above)."""
     pk = packed.astype(np.int64)
     if L > 12:
         return _rows_np(pk)
-    if small and L <= 8:
+    if small and L <= 9:
         nb = (pk >> 16) & 0xFF
         base = pk & 0xFFFF
         u = (base + (1 << L)) >> nb
         # structural invariants of the tANS table (reference
         # src/fse.rs:269-338): base = (u << nb) - 2^L for the unique
-        # spread-source state u in [1, 2^(L+1)); syms < 128 is the
-        # caller's small-alphabet guarantee
+        # spread-source state u in [1, 2^(L+1)). The caller (upack_ok)
+        # guarantees syms < 128 and u < 512 (automatic at L <= 8;
+        # at L=9 it holds iff no symbol carries > half the table,
+        # i.e. every nb >= 1).
         assert ((u << nb) == base + (1 << L)).all() and (u >= 1).all()
-        assert (pk >> 24).max() < 128
-        half = ((pk >> 24) << (L + 1)) | u
+        assert (pk >> 24).max() < 128 and u.max() < 512
+        half = ((pk >> 24) << 9) | u
         return _rows_np(half[:, 0::2] | (half[:, 1::2] << 16))
     nbns = (((pk >> 16) & 0xFF) << 12) | (pk & 0xFFF)
     pairs = nbns[:, 0::2] | (nbns[:, 1::2] << 16)
@@ -797,16 +833,16 @@ def _decode_e2e(words, sizes, norm_tables, *, k, L, R, F, interpret,
                 small=False):
     """Lane words + normalized histograms -> decoded symbols, fully on
     device (batched decode-table build + fusion + the Pallas kernel).
-    ``small``: batch-wide small-alphabet guarantee (u-packed layout at
-    L <= 8 — see decode_table_rows)."""
+    ``small``: batch-wide u-pack eligibility (u-packed layout at
+    L <= 9 — see decode_table_rows / upack_ok)."""
     packed = jax.vmap(functools.partial(build_decode_table, log2=L))(
         norm_tables.astype(jnp.int32))
     pk = lax.bitcast_convert_type(packed, jnp.int32)
-    if small and L <= 8:  # u-packed layout (see decode_table_rows)
+    if small and L <= 9:  # u-packed layout (see decode_table_rows)
         nb = _shr_u(pk, 16) & 0xFF
         base = pk & 0xFFFF
         u = _shr_u(base + (1 << L), nb)
-        half = lax.shift_left(_shr_u(pk, 24), L + 1) | u
+        half = lax.shift_left(_shr_u(pk, 24), 9) | u
         rows = _rows_dev(half[:, 0::2] | lax.shift_left(half[:, 1::2],
                                                         16))
     elif L <= 12:  # split pair/quad layout (see decode_table_rows)
@@ -873,11 +909,9 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
     pad = _cdiv(Bp, quantum) * quantum - B
     if pad:  # pad with copies of block 0 (results discarded)
         nt = np.concatenate([nt, np.repeat(nt[:1], pad, 0)])
-    # batch-wide small-alphabet detection (count 0 above 127 <=> the
-    # symbol never appears — a normalization invariant, mirrored from
-    # encode_lanes_norm): u-packed decode rows at L <= 8 halve the
-    # per-round gather count (decode_table_rows ``small``)
-    small = L <= 8 and not nt[:, 128:].any()
+    # batch-wide u-pack eligibility (upack_ok): halves the per-round
+    # decode gather count at L <= 9
+    small = upack_ok(nt, L)
     rows_np = (_dec_rows_np(native.build_decode_tables(nt, L), L, small)
                if host_tables else None)
 
@@ -979,12 +1013,10 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
     interpret = interpret or jax.default_backend() != "tpu"
 
     F = _fuse_factor(B, k, mesh)
-    # batch-wide small-alphabet detection from the packed entries (the
-    # sym byte enumerates exactly the alphabet in use): u-packed rows
-    # at L <= 8 halve the per-round gathers (decode_table_rows)
-    small = L <= 8 and all(
-        int(np.asarray(packed_tables[b], np.uint32).max() >> 24) < 128
-        for b in range(B))
+    # batch-wide u-pack eligibility from the packed entries (the sym
+    # byte enumerates exactly the alphabet in use): halves the
+    # per-round decode gathers at L <= 9 (decode_table_rows)
+    small = upack_ok_packed([packed_tables[b] for b in range(B)], L)
     rows_list = [decode_table_rows(packed_tables[b], L, small)
                  for b in range(B)]
     if B % F:  # pad with copies of block 0 (results discarded)

@@ -213,7 +213,7 @@ def test_small_alphabet_fast_path_bit_exact():
             sizes[b])
 
 
-@pytest.mark.parametrize("L", [5, 7, 8])
+@pytest.mark.parametrize("L", [5, 7, 8, 9])
 def test_upacked_decode_rows_bit_exact(L):
     """The u-packed small-alphabet decode layout (L <= 8: sym|u u16
     pairs, ONE gather row, nb/base recomputed from the spread-source
@@ -228,11 +228,13 @@ def test_upacked_decode_rows_bit_exact(L):
     assert all(h.log2 == L for h in hists)
     _, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
     R = Q - 1
-    # layout check: u-packed rows are half the split layout's
+    # layout check: u-packed rows are strictly fewer (1 vs 2 at L <= 8,
+    # 2 vs 3 at L=9)
+    assert PL.upack_ok_packed(packs, L)
     small_rows = PL.decode_table_rows(packs[0], L, small=True)
     split_rows = PL.decode_table_rows(packs[0], L, small=False)
-    assert small_rows.shape[0] * 2 == split_rows.shape[0] * 1 or \
-        small_rows.shape[0] == 1  # 1 vs 2 rows for every L <= 8
+    assert small_rows.shape[0] == max(1, (1 << L) >> 8)
+    assert small_rows.shape[0] < split_rows.shape[0]
     # decode_lanes auto-detects small from the packed syms
     syms, finals = PL.decode_lanes(words, sizes, packs, k=k, L=L, R=R,
                                    interpret=True)
@@ -252,6 +254,26 @@ def test_upacked_decode_rows_bit_exact(L):
     comp = F.compress(data, block_size=k * Q, k=k, table_log=L,
                       lanes=True, interpret=True)
     assert F.decompress(comp, interpret=True) == data.tobytes()
+
+
+def test_upack_majority_symbol_falls_back():
+    """At L=9 a symbol holding more than half the table forces nb=0
+    entries (u >= 512), so upack_ok must refuse and the split layout
+    must carry the batch — decode stays exact either way."""
+    k, Q, L = 256, 9, 9
+    rng = np.random.default_rng(77)
+    # ~70% one symbol: its normalized count exceeds 2^(L-1) = 256
+    data = np.where(rng.random(k * Q) < 0.7, 3,
+                    rng.integers(0, 6, k * Q)).astype(np.uint8)
+    hist = Histogram(data).normalize(L)
+    assert hist.log2 == L and int(np.max(hist.table)) > 256
+    _, encs, packs, words, sizes = _oracle_blocks([data], [hist], k)
+    assert not PL.upack_ok_packed(packs, L)
+    assert not PL.upack_ok(np.asarray(hist.table, np.int32)[None], L)
+    syms, finals = PL.decode_lanes(words, sizes, packs, k=k, L=L,
+                                   R=Q - 1, interpret=True)
+    got = np.concatenate([syms[0].reshape(-1), finals[0]])
+    np.testing.assert_array_equal(got, data)
 
 
 @pytest.mark.parametrize("L", [11, 13])
