@@ -407,14 +407,19 @@ def _decode_call(words, sizes, tbl, *, S, W, L, R, interpret=False,
                  p_refill=None, e_rounds=None):
     B = words.shape[0]
     assert W % 8 == 0, "W must be a multiple of 8 (octo-chunk layout)"
-    E = e_rounds or _pick_e(L)
-    if p_refill is None:
-        p_refill = _pick_p(E, L)
-    G = _cdiv(R, E)
     # table rows: the split pair/quad layout (L <= 12) has
     # hi_n/2 + hi_n/4 rows, the flat layout (L >= 13) 2^L/128; use the
     # array's own count so the BlockSpec never over- or under-claims
     hi_n = tbl.shape[1]
+    # u-packed rows make rounds cheap enough that the E=4 unroll wins
+    # (the 32-bit window budget's limit, 4*L <= 32): measured 78.1 ->
+    # 88.6 GB/s at the L=8 bench shape (round 5; E=4 measured SLOWER on
+    # the pre-u-pack split layout — PERF.md). Split layouts keep E=3.
+    upk = L <= 9 and hi_n == max(1, (1 << L) >> 8)
+    E = e_rounds or (4 if (upk and 4 * L <= 32) else _pick_e(L))
+    if p_refill is None:
+        p_refill = _pick_p(E, L)
+    G = _cdiv(R, E)
     kern = functools.partial(_decode_kernel, S=S, W=W, L=L, R=R, G=G,
                              hi_n=hi_n, E=E, p_refill=p_refill)
     scr = pltpu.VMEM((S, 128), jnp.int32)
