@@ -1064,7 +1064,7 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
 def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
                    words_ref, sizes_ref,
                    state_s, cur_s, wb_s, blo_s, bhi_s, base_s, ch_s,
-                   *, S, W, L, R, G, hi_n, E, p_refill, ns):
+                   *, S, W, L, R, G, hi_n, E, p_refill, ns, pad_back=0):
     r = pl.program_id(1)
     symt = symt_ref[0]  # (ns or 2*ns, St, 128) packed symbol transforms;
                         # ns = rows per plane (1 on the small-alphabet
@@ -1202,8 +1202,13 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
     # _put chains per epoch than inserting round by round
     vacc = jnp.zeros((S, 128), jnp.int32)
     bacc = jnp.zeros((S, 128), jnp.int32)
-    # when R % E == 0 every (r, e) round is real: skip the dead tail
-    # masking at compile time (the shipping config has R=1023, E=3)
+    # when R % E == 0 every (r, e) round is real: skip the dead-round
+    # masking at compile time (the shipping config has R=1023, E=3).
+    # Otherwise the dead rounds sit at one end of the processing order:
+    # the padded-syms route (front padding, _encode_call) deadens the
+    # LAST R..G*E-1 processed rounds; the packed route reads the raw
+    # (R+1)-row array back-aligned — its chunk G-1 spills into the init
+    # row — deadening the FIRST ``pad_back`` processed rounds instead.
     exact = R % E == 0
     for e in range(E):
         # rounds are consumed in reverse raw order (reference
@@ -1214,7 +1219,8 @@ def _encode_kernel(syms_ref, init_ref, symt_ref, stt_ref,
         tb, fs = _sym_transform(sym)
         bits_out = _shr_u(tb + states, 16)
         if not exact:
-            active = (r * E + e) < R
+            t = r * E + e
+            active = (t >= pad_back) if pad_back else (t < R)
             bits_out = jnp.where(active, bits_out, 0)
         val = states & (lax.shift_left(jnp.int32(1), bits_out) - 1)
         nstate = _next_state(_shr_u(states, bits_out) + fs)
@@ -1322,28 +1328,33 @@ def _encode_call(syms, init_syms, symt, stt, *, S, W, L, R,
 
 
 @functools.partial(jax.jit, static_argnames=("S", "W", "L", "R",
-                                              "interpret"))
+                                              "interpret", "e_rounds"))
 def _encode_call_packed(blocks4, symt, stt, *, S, W, L, R,
-                        interpret=False):
+                        interpret=False, e_rounds=None):
     """_encode_call reading the raw block bytes as ONE (B, R+1, S, 128)
     uint8 array — a FREE reshape of the (B, n) blocks (contiguous; rows
     0..R-1 are the round symbols, row R the per-lane init bytes). The
     two BlockSpecs below index the same operand, so no in-jit
     slice+reshape copy of the whole input happens (that copy costs
     ~0.7 ms per 128 MiB in _encode_e2e — PERF.md device-path
-    overheads). Requires R % E == 0 (holds at the flagship pow2
-    block/k configs, where R = 2^m - 1 and E = 3 divides it); callers
-    fall back to the slicing path otherwise."""
+    overheads). Requires G*E <= R+1, i.e. R % E == 0 or one spill round
+    (so the back-aligned chunk reads stay inside the R+1 rows; holds at
+    the flagship pow2 block/k configs for both E=3, which divides
+    R = 2^m - 1, and E=4, which spills exactly one round into the init
+    row — masked via ``pad_back``); callers fall back to the slicing
+    path otherwise."""
     B = blocks4.shape[0]
     assert W % 8 == 0, "W must be a multiple of 8 (octo-chunk layout)"
-    E = _pick_e(L)
-    assert R % E == 0 and blocks4.shape[1] == R + 1
+    E = e_rounds or _pick_e(L)
+    G = _cdiv(R, E)
+    pad_back = G * E - R
+    assert pad_back <= 1 and blocks4.shape[1] == R + 1
     p_refill = _pick_p(E, L)
-    G = R // E
     hi_n = max((1 << L) // 256, 1)
     ns = symt.shape[1] if L <= 12 else symt.shape[1] // 2
     kern = functools.partial(_encode_kernel, S=S, W=W, L=L, R=R, G=G,
-                             hi_n=hi_n, E=E, p_refill=p_refill, ns=ns)
+                             hi_n=hi_n, E=E, p_refill=p_refill, ns=ns,
+                             pad_back=pad_back)
     scr = pltpu.VMEM((S, 128), jnp.int32)
     words, sizes = pl.pallas_call(
         kern,

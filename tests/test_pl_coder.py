@@ -636,3 +636,41 @@ def test_exact_and_masked_epoch_paths_agree():
             got = np.concatenate([syms[b].reshape(-1), finals[b]])
             assert got.tobytes() == data.tobytes()
     assert merged[0] == merged[1]
+
+
+def test_packed_encode_back_aligned_epoch_bit_exact():
+    """The packed encode entry accepts unrolls that do NOT divide R by
+    reading the raw (R+1)-row array back-aligned — chunk G-1 spills one
+    round into the init row, masked via ``pad_back`` (round 5; the
+    E=4-at-L=8 experiment that motivated it measured SLOWER and E=3
+    stays the default, but the capability is load-bearing for the
+    ``e_rounds`` knob). Pin both schedules against the spec oracle."""
+    import jax.numpy as jnp
+
+    B, k, Q = 2, 256, 16  # R = 15: % 3 == 0 (exact), % 4 == 3 (pad 1)
+    rng = np.random.default_rng(41)
+    datas = [(geo(rng, k * Q) % 101) for _ in range(B)]  # alphabet
+    hists = [Histogram(d).normalize(8) for d in datas]     # fits L=8
+    L, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
+    assert L == 8
+    R, S = Q - 1, k // 128
+    We = PL.encode_w_bound(R, L)
+    small = not any(np.asarray(h.table)[128:].any() for h in hists)
+    symt, stt = zip(*(PL.pack_enc_table_rows(t, tb, fs, L, small)
+                      for t, tb, fs in encs))
+    blocks4 = jnp.asarray(np.stack(datas).reshape(B, Q, S, 128))
+    a_symt = jnp.asarray(np.stack(symt)[:, :, None, :])
+    a_stt = jnp.asarray(np.stack(stt)[:, :, None, :])
+    expect = [PL.lane_merge(
+        np.concatenate([words[b], np.zeros((We - words.shape[1], k),
+                                           np.uint32)]), sizes[b])
+        for b in range(B)]
+    for e_rounds in (3, 4):
+        w, s = PL._encode_call_packed(blocks4, a_symt, a_stt, S=S, W=We,
+                                      L=L, R=R, interpret=True,
+                                      e_rounds=e_rounds)
+        s = np.asarray(s).reshape(B, k)
+        assert (s == sizes).all(), e_rounds
+        w = np.asarray(w).reshape(B, We, k).view(np.uint32)
+        for b in range(B):
+            assert PL.lane_merge(w[b], s[b]) == expect[b], (e_rounds, b)
