@@ -129,29 +129,33 @@ def pack_enc_table_rows(table, tt_bits, tt_fs, L: int, small: bool = False):
 
 def upack_ok(norm_tables: np.ndarray, L: int) -> bool:
     """Batch-wide eligibility for the u-packed decode layout
-    (decode_table_rows ``small``): L <= 9, every coded symbol < 128
-    (count 0 above 127), and at L=9 no symbol holding more than half
-    the table (max count <= 2^(L-1) <=> every entry's nb >= 1 <=> u
-    fits 9 bits). At L <= 8 the symbol bound is structurally guaranteed
-    by the reference's table_len clamp (an alphabet needing more would
-    re-clamp the log to >= 9 — src/histogram.rs:96-98) and u <= 511
-    always, so this returns True for every valid L <= 8 batch."""
+    (decode_table_rows ``small``). The packed entry is sym(7b) | u(9b),
+    so the condition is L-independent (round 5 generalized it from the
+    original L <= 9 special case): every coded symbol < 128 (count 0
+    above 127) and every spread-source state u < 512. u ranges over
+    [count, 2*count) per symbol, so u < 512 <=> max normalized count
+    <= 256 — no symbol holding more than 2^(L-8) -th of the table. At
+    L <= 8 both bounds are structural (the reference's table_len clamp
+    re-logs any >128-symbol alphabet to L >= 9, src/histogram.rs:96-98,
+    and counts <= 2^L <= 256); at L=9 the count bound is "no majority
+    symbol"; at L=10 "no symbol over a quarter of the table" — which
+    the bench geometric distribution satisfies (max ~205/1024)."""
     nt = np.asarray(norm_tables)
-    if L > 9 or nt[:, 128:].any():
+    if nt[:, 128:].any():
         return False
-    return L <= 8 or int(nt.max()) <= (1 << (L - 1))
+    return L <= 8 or int(nt.max()) <= 256
 
 
 def upack_ok_packed(packed_tables, L: int) -> bool:
     """``upack_ok`` from packed decode tables (sym<<24|nb<<16|base):
-    syms < 128 and, at L=9, nb >= 1 for every entry."""
-    if L > 9:
-        return False
+    syms < 128 and every spread-source state u = (base + 2^L) >> nb
+    < 512 (the 9-bit u field; L-independent, see upack_ok)."""
     for p in packed_tables:
-        pk = np.asarray(p, np.uint32)
+        pk = np.asarray(p, np.uint32).astype(np.int64)
         if int(pk.max() >> 24) >= 128:
             return False
-        if L == 9 and int(((pk >> 16) & 0xFF).min()) < 1:
+        u = ((pk & 0xFFFF) + (1 << L)) >> ((pk >> 16) & 0xFF)
+        if int(u.max()) >= 512:
             return False
     return True
 
@@ -166,13 +170,15 @@ def decode_table_rows(packed: np.ndarray, L: int,
     layout is used. ``small`` (u-pack eligibility, see ``upack_ok``):
     the u-packed layout — sym(7b) | u(9b) u16 pairs where
     u = (base + 2^L) >> nb is the spread-source state, from which the
-    kernel recomputes nb = L - ilog2(u) and base = (u << nb) - 2^L —
-    HALVES the gather rows vs the split layout for every L <= 9 (1 row
-    at L=8: measured 63.8 -> 74.9 GB/s on the bench shape; 2 rows at
-    L=9, round 5). Callers must apply one batch-wide
-    ``small`` to every block of a fused/batched call (the layouts have
-    different shapes). Thin per-block wrapper over the batched
-    ``_dec_rows_np`` (the single normative host copy)."""
+    kernel recomputes nb = L - ilog2(u) and base = (u << nb) - 2^L.
+    It cuts the gather rows vs the split layout — to 1/2 at L <= 9
+    (1 row at L=8: measured 63.8 -> 74.9 GB/s on the bench shape;
+    2 rows at L=9) — and, since round 5 generalized the eligibility to
+    any L with max count <= 256, to 2/3 at L >= 10 with the whole
+    off-path quad (symbol) gather gone. Callers must apply one
+    batch-wide ``small`` to every block of a fused/batched call (the
+    layouts have different shapes). Thin per-block wrapper over the
+    batched ``_dec_rows_np`` (the single normative host copy)."""
     return _dec_rows_np(np.asarray(packed)[None], L, small)[0]
 
 
@@ -288,15 +294,17 @@ def _decode_kernel(words_ref, sizes_ref, tbl_ref, syms_ref,
 
     def _entry(states):
         """(nb, base, sym) for each lane's state. hi_n == 2^L/256 rows
-        at L <= 9 is the u-packed layout (decode_table_rows ``small`` /
-        ``upack_ok``): sym(7b)|u(9b) u16 pairs at HALF the split
-        layout's gather rows — nb and base are recomputed from the
-        spread-source state u (nb = L - ilog2(u) via the f32 exponent,
-        exact for u < 2^24; base = (u << nb) - 2^L). L <= 12 otherwise
-        uses the split pair/quad table layout: (nb<<12|base) u16 pairs
-        then sym quads — 3/4 the gather rows of the flat form."""
+        is the u-packed layout (decode_table_rows ``small`` /
+        ``upack_ok``; L-independent since round 5): sym(7b)|u(9b) u16
+        pairs at 1/2 (L <= 9) to 2/3 (L >= 10) of the split layout's
+        gather rows, and NO off-path quad gather — nb and base are
+        recomputed from the spread-source state u (nb = L - ilog2(u)
+        via the f32 exponent, exact for u < 2^24; base = (u << nb) -
+        2^L). L <= 12 otherwise uses the split pair/quad table layout:
+        (nb<<12|base) u16 pairs then sym quads — 3/4 the gather rows of
+        the flat form."""
         hu = max((1 << L) // 256, 1)
-        if L <= 9 and hi_n == hu:
+        if hi_n == hu:
             v = _gather_rows(tbl, _shr_u(states, 1), hu, S)
             half = jnp.where((states & 1) == 1, _shr_u(v, 16),
                              v & 0xFFFF)
@@ -415,7 +423,7 @@ def _decode_call(words, sizes, tbl, *, S, W, L, R, interpret=False,
     # (the 32-bit window budget's limit, 4*L <= 32): measured 78.1 ->
     # 88.6 GB/s at the L=8 bench shape (round 5; E=4 measured SLOWER on
     # the pre-u-pack split layout — PERF.md). Split layouts keep E=3.
-    upk = L <= 9 and hi_n == max(1, (1 << L) >> 8)
+    upk = hi_n == max(1, (1 << L) >> 8)
     E = e_rounds or (4 if (upk and 4 * L <= 32) else _pick_e(L))
     if p_refill is None:
         p_refill = _pick_p(E, L)
@@ -572,25 +580,25 @@ def _dec_rows_np(packed: np.ndarray, L: int,
                  small: bool = False) -> np.ndarray:
     """Batched host analog of decode_table_rows: (B, 2^L) u32 packed
     entries -> (B, rows, 128) int32 gather rows (u-packed for
-    upack_ok batches at L <= 9, split pair/quad layout for L <= 12,
+    upack_ok batches at any L, split pair/quad layout for L <= 12,
     flat above)."""
     pk = packed.astype(np.int64)
-    if L > 12:
-        return _rows_np(pk)
-    if small and L <= 9:
+    if small:
         nb = (pk >> 16) & 0xFF
         base = pk & 0xFFFF
         u = (base + (1 << L)) >> nb
         # structural invariants of the tANS table (reference
         # src/fse.rs:269-338): base = (u << nb) - 2^L for the unique
         # spread-source state u in [1, 2^(L+1)). The caller (upack_ok)
-        # guarantees syms < 128 and u < 512 (automatic at L <= 8;
-        # at L=9 it holds iff no symbol carries > half the table,
-        # i.e. every nb >= 1).
+        # guarantees syms < 128 and u < 512 (automatic at L <= 8; above
+        # it holds iff no symbol's count exceeds 256 — L-independent,
+        # round 5 generalized this branch from its original L <= 9).
         assert ((u << nb) == base + (1 << L)).all() and (u >= 1).all()
         assert (pk >> 24).max() < 128 and u.max() < 512
         half = ((pk >> 24) << 9) | u
         return _rows_np(half[:, 0::2] | (half[:, 1::2] << 16))
+    if L > 12:
+        return _rows_np(pk)
     nbns = (((pk >> 16) & 0xFF) << 12) | (pk & 0xFFF)
     pairs = nbns[:, 0::2] | (nbns[:, 1::2] << 16)
     sym = pk >> 24
@@ -838,12 +846,12 @@ def _decode_e2e(words, sizes, norm_tables, *, k, L, R, F, interpret,
                 small=False):
     """Lane words + normalized histograms -> decoded symbols, fully on
     device (batched decode-table build + fusion + the Pallas kernel).
-    ``small``: batch-wide u-pack eligibility (u-packed layout at
-    L <= 9 — see decode_table_rows / upack_ok)."""
+    ``small``: batch-wide u-pack eligibility (u-packed layout — see
+    decode_table_rows / upack_ok)."""
     packed = jax.vmap(functools.partial(build_decode_table, log2=L))(
         norm_tables.astype(jnp.int32))
     pk = lax.bitcast_convert_type(packed, jnp.int32)
-    if small and L <= 9:  # u-packed layout (see decode_table_rows)
+    if small:  # u-packed layout, any L (see decode_table_rows)
         nb = _shr_u(pk, 16) & 0xFF
         base = pk & 0xFFFF
         u = _shr_u(base + (1 << L), nb)
@@ -914,8 +922,8 @@ def decode_lanes_norm(words, sizes, norm_tables, *, k, L, R,
     pad = _cdiv(Bp, quantum) * quantum - B
     if pad:  # pad with copies of block 0 (results discarded)
         nt = np.concatenate([nt, np.repeat(nt[:1], pad, 0)])
-    # batch-wide u-pack eligibility (upack_ok): halves the per-round
-    # decode gather count at L <= 9
+    # batch-wide u-pack eligibility (upack_ok): cuts the per-round
+    # decode gather count (1/2 at L <= 9, 2/3 + no off-path quad above)
     small = upack_ok(nt, L)
     rows_np = (_dec_rows_np(native.build_decode_tables(nt, L), L, small)
                if host_tables else None)
@@ -1019,8 +1027,8 @@ def decode_lanes(words, sizes, packed_tables, *, k, L, R, interpret=False,
 
     F = _fuse_factor(B, k, mesh)
     # batch-wide u-pack eligibility from the packed entries (the sym
-    # byte enumerates exactly the alphabet in use): halves the
-    # per-round decode gathers at L <= 9 (decode_table_rows)
+    # byte enumerates exactly the alphabet in use): cuts the per-round
+    # decode gathers (decode_table_rows)
     small = upack_ok_packed([packed_tables[b] for b in range(B)], L)
     rows_list = [decode_table_rows(packed_tables[b], L, small)
                  for b in range(B)]

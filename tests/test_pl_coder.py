@@ -213,17 +213,24 @@ def test_small_alphabet_fast_path_bit_exact():
             sizes[b])
 
 
-@pytest.mark.parametrize("L", [5, 7, 8, 9])
+@pytest.mark.parametrize("L", [5, 7, 8, 9, 10, 11, 13])
 def test_upacked_decode_rows_bit_exact(L):
-    """The u-packed small-alphabet decode layout (L <= 8: sym|u u16
-    pairs, ONE gather row, nb/base recomputed from the spread-source
-    state u in-kernel — decode_table_rows ``small``) decodes
-    bit-exactly vs the spec oracle and vs the split pair/quad layout,
-    through decode_lanes (auto-detected), both decode_lanes_norm table
-    routes, and the frame path."""
+    """The u-packed small-alphabet decode layout (sym|u u16 pairs,
+    nb/base recomputed from the spread-source state u in-kernel —
+    decode_table_rows ``small``; ONE gather row at L=8, and since the
+    round-5 generalization any L whose max count fits 256, including
+    past the L=12 split-layout ceiling) decodes bit-exactly vs the
+    spec oracle and vs the split/flat layout, through decode_lanes
+    (auto-detected), both decode_lanes_norm table routes, and the
+    frame path."""
     B, k, Q = 2, 256, 9
     rng = np.random.default_rng(900 + L)
-    datas = [rng.integers(0, 6, k * Q, dtype=np.uint8) for _ in range(B)]
+    # eligibility needs max normalized count <= 256: a 6-symbol alphabet
+    # qualifies through L=10 (~2^L/6 each); higher logs need >= 2^L/256
+    # symbols, so widen to 101
+    nsym = 6 if L <= 10 else 101
+    datas = [rng.integers(0, nsym, k * Q, dtype=np.uint8)
+             for _ in range(B)]
     hists = [Histogram(d).normalize(L) for d in datas]
     assert all(h.log2 == L for h in hists)
     _, encs, packs, words, sizes = _oracle_blocks(datas, hists, k)
