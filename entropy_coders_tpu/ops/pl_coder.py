@@ -776,11 +776,14 @@ def encode_lanes_norm(blocks, norm_tables, *, k, L, W,
         table, tt_bits, tt_fs = native.build_encode_tables(nt, L)
         symt = _pack_symt_np(tt_bits, tt_fs, L, small)
         stt = _stt_rows_np(table)
-        if F == 1 and R % _pick_e(L) == 0:
+        if F == 1 and _cdiv(R, _pick_e(L)) * _pick_e(L) - R <= 1:
             # packed fast path: the kernel reads the raw (B, R+1, S, 128)
             # reshape of the blocks directly — no in-jit slice copy
             # (works for host AND device-resident blocks; the reshape is
-            # free either way)
+            # free either way). Since round 5 the kernel also takes
+            # R % E == E-1 shapes back-aligned (one spill round into the
+            # init row, masked via pad_back) — only R % E == 1 still
+            # needs the padded-syms fallback below.
             S = k // 128
             call = functools.partial(_encode_call_packed, S=S, W=W, L=L,
                                      R=R, interpret=interpret)
